@@ -1,0 +1,266 @@
+"""Driver-contract queries + DuckDB oracle SQL (see /root/repo/__spark_entry__.py).
+
+Every implemented operator from SURVEY.md §2 gets a (queries, oracle_sql) pair
+over the driver's testdata tables. The Spark side and the SQL side alias
+columns identically and round floating-point outputs (4dp for scores, 6dp for
+stats) so the driver's order-insensitive value-hash compares cleanly across
+engines; ranking ties are broken on the *rounded* score then doc_id, in both,
+so a 1-ulp libm divergence between the JVM and DuckDB can't flip a rank.
+
+The testdata ``documents`` table (doc_id, text, lang, source, n_chars) is the
+corpus; its text is ASCII, so DuckDB's RE2 ``\\w+`` over ``lower(text)``
+tokenizes identically to the reference tokenizer (Python ``re`` ``\\b\\w+\\b``;
+/root/reference/src/neural_search/core/hybrid.py:49-52) — non-ASCII parity is
+covered by the pytest oracle suite instead, where Python ``re`` is on both
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_PARAMS
+from ..functions.tokenize import tokenize_py
+from ..index.stats import build_logical_index
+from ..operators.filters import compile_filters
+from ..query.bm25_dataframe import bm25_scores
+
+K1, B, EPS = DEFAULT_PARAMS.k1, DEFAULT_PARAMS.b, DEFAULT_PARAMS.epsilon
+
+# Fixed verbatim query set over the testdata documents vocabulary:
+# frequent terms, a term absent from the corpus, and a repeated term.
+ENTRY_QUERIES: list[tuple[int, str, int]] = [
+    (0, "join hash", 10),
+    (1, "vector scan spark", 10),
+    (2, "customer order group", 10),
+    (3, "nosuchterm join", 10),
+    (4, "batch batch window", 5),
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, t, k) for q, t, k in ENTRY_QUERIES],
+        "query_id int, query_text string, top_k int",
+    )
+
+
+# --- SQL building blocks (DuckDB dialect, ANSI-compatible) -------------------
+
+_BASE_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tstats AS (
+  SELECT term, count(*) AS df,
+         ln((SELECT n_docs FROM cstats) - count(*) + 0.5) - ln(count(*) + 0.5) AS raw_idf
+  FROM tf GROUP BY term
+),
+aidf AS (SELECT avg(raw_idf) AS average_idf FROM tstats),
+fidf AS (
+  SELECT term, df, raw_idf,
+         CASE WHEN raw_idf < 0 THEN {EPS} * (SELECT average_idf FROM aidf)
+              ELSE raw_idf END AS idf
+  FROM tstats
+)
+"""
+
+
+def _query_values_sql() -> str:
+    rows = []
+    for qid, text, k in ENTRY_QUERIES:
+        toks = tokenize_py(text)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append(f"({qid}, {k}, '{term}', {qtf})")
+    return "q(query_id, top_k, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _bm25_sql(select: str, extra_cte: str = "") -> str:
+    return f"""
+WITH {_BASE_CTES},
+{_query_values_sql()},
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.doc_id,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+  HAVING sum(c) > 0
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+){extra_cte}
+{select}
+"""
+
+
+# --- Spark-side entry queries -------------------------------------------------
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
+    per_doc = bm25_scores(idx.doc_terms, idx.terms, _queries_df(spark), stats=idx.stats)
+    rounded = per_doc.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return rounded.withColumn("rank", F.row_number().over(w))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_ranked(spark, sf_dir)
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+SQL_BM25_TOPK = _bm25_sql(
+    "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k"
+)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
+    s = idx.stats
+    return spark.createDataFrame(
+        [(s.n_docs, round(s.avgdl, 6), round(s.average_idf, 6))],
+        "n_docs long, avgdl double, average_idf double",
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {_BASE_CTES}
+SELECT (SELECT n_docs FROM cstats) AS n_docs,
+       round((SELECT avgdl FROM cstats), 6) AS avgdl,
+       round((SELECT average_idf FROM aidf), 6) AS average_idf
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
+    return idx.terms.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.round("raw_idf", 6).alias("raw_idf"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+SQL_TERM_STATS = f"""
+WITH {_BASE_CTES}
+SELECT term, df, round(raw_idf, 6) AS raw_idf, round(idf, 6) AS idf FROM fidf
+"""
+
+
+def q_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import doc_terms
+
+    return doc_terms(_docs(spark, sf_dir), id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
+SQL_DOC_TERMS = f"""
+WITH {_BASE_CTES}
+SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len
+FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import doc_lengths
+
+    return doc_lengths(_docs(spark, sf_dir), id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
+SQL_DOC_LENGTHS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+"""
+
+
+def q_filter_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference filter surface: $in / $gt / $ne AND-ed (faiss_store.py:215-267)
+    pred = compile_filters(
+        {"lang": {"$in": ["en", "de"]}, "n_chars": {"$gt": 200}, "source": {"$ne": "src0"}}
+    )
+    return _docs(spark, sf_dir).where(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_FILTER_METADATA = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang IN ('en', 'de') AND n_chars > 200 AND source <> 'src0'
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S5 point lookup (faiss_store.py:194-213): get document by id
+    return _docs(spark, sf_dir).where(F.col("doc_id") == 7).select("doc_id", "text", "lang")
+
+
+SQL_POINT_LOOKUP = "SELECT doc_id, text, lang FROM documents WHERE doc_id = 7"
+
+
+def base_queries() -> dict:
+    return {
+        "bm25_topk": q_bm25_topk,
+        "corpus_stats": q_corpus_stats,
+        "term_stats": q_term_stats,
+        "doc_terms": q_doc_terms,
+        "doc_lengths": q_doc_lengths,
+        "filter_metadata": q_filter_metadata,
+        "point_lookup": q_point_lookup,
+    }
+
+
+def base_oracles() -> dict:
+    return {
+        "bm25_topk": SQL_BM25_TOPK,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "term_stats": SQL_TERM_STATS,
+        "doc_terms": SQL_DOC_TERMS,
+        "doc_lengths": SQL_DOC_LENGTHS,
+        "filter_metadata": SQL_FILTER_METADATA,
+        "point_lookup": SQL_POINT_LOOKUP,
+    }

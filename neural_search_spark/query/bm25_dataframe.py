@@ -51,16 +51,15 @@ def bm25_contrib_expr(k1: float, b: float, avgdl: float):
     return F.col("qtf").cast("double") * F.col("idf") * (tf * (k1 + 1.0) / denom)
 
 
-def bm25_topk(
+def bm25_scores(
     doc_terms: DataFrame,
     terms: DataFrame,
     queries: DataFrame,
     avgdl: float | None = None,
     stats=None,
     params: BM25Params = DEFAULT_PARAMS,
-    default_top_k: int = 10,
 ) -> DataFrame:
-    """Per-query BM25 top-k: (query_id, rank, doc_id, score).
+    """Positive per-(query, doc) BM25 scores: (query_id, top_k, doc_id, score).
 
     * unknown query terms vanish at the inner join (contribute 0, matching
       ``idf.get(q) or 0``);
@@ -82,13 +81,30 @@ def bm25_topk(
     per_doc = scored.groupBy("query_id", "top_k", "doc_id").agg(
         F.sum("contrib").alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return per_doc.where(F.col("score") > 0)
+
+
+def rank_topk(per_doc: DataFrame, score_col: str = "score") -> DataFrame:
+    """Deterministic per-query top-k cut: (query_id, rank, doc_id, score)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("doc_id"))
     return (
-        per_doc.where(F.col("score") > 0)
-        .withColumn("rank", F.row_number().over(w))
+        per_doc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("top_k"))
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "rank", "doc_id", F.col(score_col).alias("score"))
     )
+
+
+def bm25_topk(
+    doc_terms: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    avgdl: float | None = None,
+    stats=None,
+    params: BM25Params = DEFAULT_PARAMS,
+) -> DataFrame:
+    """Per-query BM25 top-k: (query_id, rank, doc_id, score)."""
+    per_doc = bm25_scores(doc_terms, terms, queries, avgdl=avgdl, stats=stats, params=params)
+    return rank_topk(per_doc)
 
 
 def bm25_topk_single(
