@@ -1,0 +1,151 @@
+"""Posting-block codec: docID-delta + varint, with per-block max-score bounds.
+
+Pure-numpy bit twiddling (no per-element Python in the hot loops): the varint
+encoder expands each uint64 into its 7-bit groups with vectorized shifts and a
+flat ``np.cumsum``-based scatter; the decoder reconstructs values with a
+segment-id trick over the continuation bits. Runs inside the build-side
+``applyInPandas`` and the query-side kernels (SURVEY.md §4.2.1).
+
+Block layout (one parquet row per block, flat — columnar-friendly):
+    term, shard, block_id, first_doc_id, n_docs, max_score, deltas, tfs
+``deltas[0]`` is ``doc_id[0] - shard_base``; subsequent are gaps-1 is NOT used
+(plain gaps) to keep the codec trivial to verify. ``max_score`` is the exact
+maximum single-occurrence BM25 contribution of the term within the block
+(idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))), the WAND-safe upper bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BLOCK = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+        nz = tmp > 0
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    # positions: for value i, its bytes occupy [start[i], start[i]+nbytes[i])
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # byte index within each value: build flat arrays
+    flat_val_idx = np.repeat(np.arange(v.size), nbytes)
+    within = np.arange(total) - np.repeat(starts, nbytes)
+    shifted = v[flat_val_idx] >> (within.astype(np.uint64) * np.uint64(7))
+    payload = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    # continuation bit on all but the last byte of each value
+    last_byte = within == (nbytes[flat_val_idx] - 1)
+    out[:] = payload | np.where(last_byte, 0, 0x80).astype(np.uint8)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, fully vectorized."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    # segment id: which value each byte belongs to
+    seg = np.zeros(raw.size, dtype=np.int64)
+    seg[1:] = np.cumsum(is_last)[:-1]
+    n_values = int(is_last.sum())
+    # position of byte within its segment
+    seg_starts = np.zeros(n_values, dtype=np.int64)
+    last_pos = np.flatnonzero(is_last)
+    seg_starts[1:] = last_pos[:-1] + 1
+    within = np.arange(raw.size) - seg_starts[seg]
+    contrib = (raw & 0x7F).astype(np.uint64) << (within.astype(np.uint64) * np.uint64(7))
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, seg, contrib)
+    if count is not None:
+        assert n_values == count, f"decoded {n_values} values, expected {count}"
+    return out
+
+
+def encode_doc_ids(doc_ids: np.ndarray, base: int) -> bytes:
+    """Delta-encode a sorted doc_id array relative to ``base``."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.empty(d.shape, dtype=np.uint64)
+    if d.size:
+        deltas[0] = np.uint64(d[0] - base)
+        deltas[1:] = np.diff(d).astype(np.uint64)
+    return varint_encode(deltas)
+
+
+def decode_doc_ids(buf: bytes, base: int, count: int | None = None) -> np.ndarray:
+    deltas = varint_decode(buf, count)
+    return (np.cumsum(deltas.astype(np.int64)) + base).astype(np.int64)
+
+
+def bm25_term_bound(
+    tf: np.ndarray, doc_len: np.ndarray, idf: float, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Exact per-posting BM25 contribution (single query-term occurrence)."""
+    tf = tf.astype(np.float64)
+    denom = tf + k1 * (1.0 - b + b * doc_len.astype(np.float64) / avgdl)
+    return idf * (tf * (k1 + 1.0) / denom)
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    shard_base: int,
+    block_size: int = _BLOCK,
+) -> list[dict]:
+    """Split one term's sorted shard postings into compressed blocks.
+
+    Returns a list of dicts ready to become parquet rows:
+    {block_id, first_doc_id, last_doc_id, n_docs, max_score, deltas, tfs}
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)[order]
+    scores = bm25_term_bound(tfs, doc_lens, idf, k1, b, avgdl)
+    out = []
+    for bi, start in enumerate(range(0, len(doc_ids), block_size)):
+        sl = slice(start, start + block_size)
+        ids = doc_ids[sl]
+        out.append(
+            {
+                "block_id": bi,
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "n_docs": int(len(ids)),
+                "max_score": float(scores[sl].max()),
+                "deltas": encode_doc_ids(ids, shard_base if start == 0 else int(doc_ids[start - 1])),
+                "tfs": varint_encode(tfs[sl].astype(np.uint64)),
+            }
+        )
+    return out
+
+
+def decode_posting_blocks(blocks: list[dict], shard_base: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_posting_blocks for a term: (doc_ids, tfs)."""
+    all_ids = []
+    all_tfs = []
+    prev_last = shard_base
+    for blk in sorted(blocks, key=lambda x: x["block_id"]):
+        ids = decode_doc_ids(blk["deltas"], prev_last, blk["n_docs"])
+        all_ids.append(ids)
+        all_tfs.append(varint_decode(blk["tfs"], blk["n_docs"]).astype(np.int64))
+        prev_last = int(ids[-1])
+    if not all_ids:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(all_ids), np.concatenate(all_tfs)

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neural_search_spark.index.codec import (
+    bm25_term_bound,
+    decode_doc_ids,
+    decode_posting_blocks,
+    encode_doc_ids,
+    encode_posting_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip_basic():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1], dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr), len(vals)) == arr).all()
+
+
+def test_varint_against_manual_leb128():
+    # 300 = 0b100101100 -> 0xAC 0x02
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_encode(np.array([1, 300], dtype=np.uint64)) == b"\x01\xac\x02"
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=300, unique=True)
+)
+@settings(max_examples=30, deadline=None)
+def test_doc_id_delta_roundtrip(ids):
+    ids = np.array(sorted(ids), dtype=np.int64)
+    base = int(ids[0]) - 1 if ids[0] > 0 else 0
+    # delta coding requires first >= base
+    buf = encode_doc_ids(ids, 0)
+    assert (decode_doc_ids(buf, 0, len(ids)) == ids).all()
+
+
+def test_posting_block_roundtrip_and_maxscore():
+    rng = np.random.default_rng(7)
+    n = 1000
+    doc_ids = np.sort(rng.choice(np.arange(100000, 165536), size=n, replace=False))
+    tfs = rng.integers(1, 30, size=n)
+    dls = rng.integers(20, 400, size=n)
+    idf, k1, b, avgdl = 2.5, 1.5, 0.75, 210.0
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, idf, k1, b, avgdl, shard_base=100000, block_size=128)
+    got_ids, got_tfs = decode_posting_blocks(blocks, shard_base=100000)
+    assert (got_ids == doc_ids).all()
+    assert (got_tfs == tfs).all()
+    # block max is the exact max of the per-posting contribution
+    scores = bm25_term_bound(tfs, dls, idf, k1, b, avgdl)
+    for i, blk in enumerate(blocks):
+        sl = slice(i * 128, (i + 1) * 128)
+        assert blk["max_score"] == pytest.approx(scores[sl].max(), rel=1e-12)
+        assert blk["first_doc_id"] == doc_ids[sl][0]
+        assert blk["last_doc_id"] == doc_ids[sl][-1]
+
+
+def test_compression_is_compact():
+    # dense consecutive ids: 1 byte per delta
+    ids = np.arange(50000, 51000, dtype=np.int64)
+    buf = encode_doc_ids(ids, 50000 - 1)
+    assert len(buf) == 1000

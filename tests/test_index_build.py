@@ -1,0 +1,161 @@
+"""Physical index: build determinism, resume-equivalence, metrics lineage,
+and WAND rank-identity vs the oracle (multi-shard forced)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from neural_search_spark.config import IndexLayout
+from neural_search_spark.corpus import REFERENCE_QUERIES, queries_df
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.oracle.bm25_oracle import (
+    as_tie_classes,
+    build_oracle_index,
+    oracle_topk,
+)
+
+# small shards/blocks force multi-shard, multi-block paths on 200 docs
+LAYOUT = IndexLayout(docs_per_shard=64, block_size=16)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    idx = build_index(corpus_small, out, layout=LAYOUT, n_buckets=8)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf_small):
+    ordered = corpus_pdf_small.sort_values("url").reset_index(drop=True)
+    return build_oracle_index(list(ordered["text"]))
+
+
+def test_layout_and_stats(built, oracle):
+    assert built.stats.n_docs == oracle.corpus_size
+    assert built.stats.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert built.stats.average_idf == pytest.approx(oracle.average_idf, rel=1e-12)
+    shards = sorted(r["shard"] for r in built.postings.select("shard").distinct().collect())
+    assert shards == [0, 1, 2, 3]  # 200 docs / 64 per shard
+
+
+def test_postings_roundtrip_vs_doc_terms(spark, built, corpus_small):
+    """Decoding every posting block reproduces the logical (doc_id, term, tf)."""
+    import numpy as np
+
+    from neural_search_spark.functions.tokenize import doc_terms
+    from neural_search_spark.index.codec import varint_decode
+    from neural_search_spark.index.docmap import assign_doc_ids
+
+    expected = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in doc_terms(assign_doc_ids(corpus_small)).collect()
+    }
+    got = {}
+    rows = built.postings.collect()
+    by_term_shard: dict = {}
+    for r in rows:
+        by_term_shard.setdefault((r["shard"], r["term"]), []).append(r)
+    for (shard, term), blocks in by_term_shard.items():
+        prev = shard * LAYOUT.docs_per_shard
+        for blk in sorted(blocks, key=lambda x: x["block_id"]):
+            deltas = varint_decode(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
+            ids = np.cumsum(deltas) + prev
+            prev = int(ids[-1])
+            tfs = varint_decode(bytes(blk["tfs"]), blk["n_docs"])
+            for d, t in zip(ids, tfs):
+                got[(int(d), term)] = int(t)
+    assert got == expected
+
+
+def test_wand_rank_identity(spark, built, oracle):
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+
+    res = bm25_topk_wand(built, queries_df(spark)).collect()
+    by_q: dict = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, qtext, k in REFERENCE_QUERIES:
+        want = oracle_topk(oracle, qtext, top_k=k)
+        got = by_q.get(qid, [])
+        assert len(got) == len(want), f"q{qid}"
+        assert as_tie_classes(got) == as_tie_classes(want), f"q{qid}"
+        for (gd, gs), (od, os_) in zip(
+            sorted(got, key=lambda x: (-x[1], x[0])), sorted(want, key=lambda x: (-x[1], x[0]))
+        ):
+            assert gs == pytest.approx(os_, rel=1e-9), f"q{qid}"
+
+
+def test_build_determinism(spark, corpus_small, tmp_path):
+    """Two builds of the same snapshot produce byte-identical posting blocks."""
+    a = build_index(corpus_small, str(tmp_path / "a"), layout=LAYOUT, n_buckets=8)
+    b = build_index(corpus_small, str(tmp_path / "b"), layout=LAYOUT, n_buckets=8)
+
+    def blocks(idx):
+        return sorted(
+            (
+                (r["shard"], r["term"], r["block_id"], bytes(r["deltas"]), bytes(r["tfs"]),
+                 r["max_score"], r["first_doc_id"], r["last_doc_id"], r["n_docs"])
+                for r in idx.postings.collect()
+            )
+        )
+
+    assert blocks(a) == blocks(b)
+
+
+def test_kill_and_resume_equals_single_shot(spark, corpus_small, tmp_path):
+    single = build_index(corpus_small, str(tmp_path / "single"), layout=LAYOUT, n_buckets=8)
+
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(corpus_small, out, layout=LAYOUT, n_buckets=8, waves=4, fail_after_wave=2)
+    # checkpoint shows partial completion
+    import json
+
+    ckpt = json.load(open(os.path.join(out, "_checkpoint.json")))
+    assert 0 < len(ckpt["done_shards"]) < 4
+    resumed = build_index(corpus_small, out, layout=LAYOUT, n_buckets=8, waves=4)
+
+    def blocks(idx):
+        return sorted(
+            (
+                (r["shard"], r["term"], r["block_id"], bytes(r["deltas"]), bytes(r["tfs"]))
+                for r in idx.postings.collect()
+            )
+        )
+
+    assert blocks(resumed) == blocks(single)
+    # no double-count: every (shard, term, block) appears exactly once
+    rows = resumed.postings.groupBy("shard", "term", "block_id").count().where("count > 1")
+    assert rows.count() == 0
+
+
+def test_resume_is_incremental(spark, corpus_small, tmp_path):
+    """Resume must not redo completed shards (checks _metrics lineage)."""
+    out = str(tmp_path / "incr")
+    with pytest.raises(RuntimeError):
+        build_index(corpus_small, out, layout=LAYOUT, n_buckets=8, waves=4, fail_after_wave=2)
+    build_index(corpus_small, out, layout=LAYOUT, n_buckets=8, waves=4)
+    metrics = spark.read.parquet(os.path.join(out, "_metrics"))
+    per_shard = metrics.groupBy("shard").count().collect()
+    # each shard committed exactly once across the killed run + resume
+    assert all(r["count"] == 1 for r in per_shard)
+    assert len(per_shard) == 4
+    cols = set(metrics.columns)
+    assert {"build_id", "shard", "n_terms", "n_postings", "n_blocks",
+            "deltas_bytes", "tfs_bytes", "elapsed_sec"} <= cols
+
+
+def test_compression_ratio(built):
+    """Delta+varint postings must be much smaller than raw int64 pairs."""
+    from pyspark.sql import functions as F
+
+    row = built.postings.agg(
+        F.sum(F.octet_length("deltas") + F.octet_length("tfs")).alias("bytes"),
+        F.sum("n_docs").alias("postings"),
+    ).collect()[0]
+    raw = row["postings"] * 16  # int64 doc_id + int64 tf
+    assert row["bytes"] < raw / 3
