@@ -17,8 +17,13 @@ from neural_search_spark.plans import driver_entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: batch BM25 top-k over the sf0.001 documents table."""
-    return driver_entry.q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship: batch BM25 match-mode top-k over the sf0.001 documents table.
+
+    (Match mode because the driver corpus's degenerate vocabulary floors every
+    idf negative; the reference-parity score>0 variant — which is then empty on
+    this corpus, exactly like the reference engine — is ``queries()['bm25_topk']``.)
+    """
+    return driver_entry.q_bm25_topk_all(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

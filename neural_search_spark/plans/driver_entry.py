@@ -91,7 +91,8 @@ def _query_values_sql() -> str:
     return "q(query_id, top_k, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
 
 
-def _bm25_sql(select: str, extra_cte: str = "") -> str:
+def _bm25_sql(select: str, extra_cte: str = "", positive_only: bool = True) -> str:
+    having = "HAVING sum(c) > 0" if positive_only else ""
     return f"""
 WITH {_BASE_CTES},
 {_query_values_sql()},
@@ -107,7 +108,7 @@ contrib AS (
 scored AS (
   SELECT query_id, top_k, doc_id, sum(c) AS score
   FROM contrib GROUP BY query_id, top_k, doc_id
-  HAVING sum(c) > 0
+  {having}
 ),
 ranked AS (
   SELECT query_id, top_k, doc_id, round(score, 4) AS score,
@@ -123,29 +124,49 @@ ranked AS (
 # --- Spark-side entry queries -------------------------------------------------
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_ranked(spark: SparkSession, sf_dir: str, positive_only: bool = True) -> DataFrame:
     idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
-    per_doc = bm25_scores(idx.doc_terms, idx.terms, _queries_df(spark), stats=idx.stats)
+    per_doc = bm25_scores(
+        idx.doc_terms, idx.terms, _queries_df(spark), stats=idx.stats,
+        positive_only=positive_only,
+    )
     rounded = per_doc.withColumn("score", F.round("score", 4))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return rounded.withColumn("rank", F.row_number().over(w))
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _bm25_ranked(spark, sf_dir)
-        .where(F.col("rank") <= F.col("top_k"))
-        .select(
-            "query_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "score",
-        )
+def _topk_cut(ranked: DataFrame) -> DataFrame:
+    return ranked.where(F.col("rank") <= F.col("top_k")).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
     )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity top-k (score>0 cut). NB: the driver's ``documents``
+    vocabulary is degenerate (31 terms, each in > half the docs), so every idf
+    is epsilon-floored *negative* and this — exactly like the reference
+    rank-bm25 engine on the same corpus — returns zero rows; the oracle SQL
+    agrees. Non-degenerate behavior is exercised by the pytest suite's
+    realistic corpus and by ``bm25_topk_all`` below."""
+    return _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=True))
+
+
+def q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-mode top-k (our extension): every doc matching >=1 known query
+    term is ranked, no positive-score cut — non-vacuous on any corpus."""
+    return _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
 
 
 SQL_BM25_TOPK = _bm25_sql(
     "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k"
+)
+
+SQL_BM25_TOPK_ALL = _bm25_sql(
+    "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k",
+    positive_only=False,
 )
 
 
@@ -245,6 +266,7 @@ SQL_POINT_LOOKUP = "SELECT doc_id, text, lang FROM documents WHERE doc_id = 7"
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_all": q_bm25_topk_all,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "doc_terms": q_doc_terms,
@@ -257,6 +279,7 @@ def base_queries() -> dict:
 def base_oracles() -> dict:
     return {
         "bm25_topk": SQL_BM25_TOPK,
+        "bm25_topk_all": SQL_BM25_TOPK_ALL,
         "corpus_stats": SQL_CORPUS_STATS,
         "term_stats": SQL_TERM_STATS,
         "doc_terms": SQL_DOC_TERMS,

@@ -58,14 +58,19 @@ def bm25_scores(
     avgdl: float | None = None,
     stats=None,
     params: BM25Params = DEFAULT_PARAMS,
+    positive_only: bool = True,
 ) -> DataFrame:
-    """Positive per-(query, doc) BM25 scores: (query_id, top_k, doc_id, score).
+    """Per-(query, doc) BM25 scores: (query_id, top_k, doc_id, score).
 
     * unknown query terms vanish at the inner join (contribute 0, matching
       ``idf.get(q) or 0``);
     * docs with no matching term never appear (score 0 -> dropped, matching
       the reference's ``scores[idx] > 0`` filter at hybrid.py:144);
-    * docs whose matched contributions sum to <= 0 are dropped likewise.
+    * with ``positive_only`` (the reference default), docs whose matched
+      contributions sum to <= 0 are dropped likewise. ``positive_only=False``
+      is our match-mode extension: every doc matching >=1 known query term is
+      ranked, even when a degenerate corpus (every term in > half the docs,
+      e.g. rank-bm25's all-negative-idf regime) floors all scores below zero.
     """
     avgdl = resolve_stats(avgdl, stats)
     qt = query_terms(queries)
@@ -81,7 +86,7 @@ def bm25_scores(
     per_doc = scored.groupBy("query_id", "top_k", "doc_id").agg(
         F.sum("contrib").alias("score")
     )
-    return per_doc.where(F.col("score") > 0)
+    return per_doc.where(F.col("score") > 0) if positive_only else per_doc
 
 
 def rank_topk(per_doc: DataFrame, score_col: str = "score") -> DataFrame:
@@ -101,9 +106,13 @@ def bm25_topk(
     avgdl: float | None = None,
     stats=None,
     params: BM25Params = DEFAULT_PARAMS,
+    positive_only: bool = True,
 ) -> DataFrame:
     """Per-query BM25 top-k: (query_id, rank, doc_id, score)."""
-    per_doc = bm25_scores(doc_terms, terms, queries, avgdl=avgdl, stats=stats, params=params)
+    per_doc = bm25_scores(
+        doc_terms, terms, queries, avgdl=avgdl, stats=stats, params=params,
+        positive_only=positive_only,
+    )
     return rank_topk(per_doc)
 
 

@@ -40,7 +40,7 @@ from .bm25_dataframe import rank_topk
 _WINDOW_DOCS = 2048
 
 
-def _query_specs(queries_rows, terms_df) -> tuple[list[dict], list[str]]:
+def _query_specs(queries_rows, terms_df, positive_only=True) -> tuple[list[dict], list[str]]:
     """Driver-side: tokenize queries, look up idfs for the touched vocabulary."""
     all_terms: set[str] = set()
     specs = []
@@ -64,14 +64,20 @@ def _query_specs(queries_rows, terms_df) -> tuple[list[dict], list[str]]:
     )
     idf = {r["term"]: float(r["idf"]) for r in idf_rows}
     for s in specs:
-        # unknown terms contribute 0 (reference `idf.get(q) or 0`) -> drop
+        # unknown terms contribute 0 (reference `idf.get(q) or 0`) -> drop;
+        # exactly-zero idf also scores 0, but in match mode the doc must still
+        # become a candidate (parity with the DF path's inner join on term)
         s["terms"] = {
-            t: (c, idf[t]) for t, c in s["terms"].items() if t in idf and idf[t] != 0.0
+            t: (c, idf[t])
+            for t, c in s["terms"].items()
+            if t in idf and (idf[t] != 0.0 or not positive_only)
         }
     return specs, sorted(all_terms & set(idf))
 
 
-def _shard_kernel(specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS):
+def _shard_kernel(
+    specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS, positive_only=True
+):
     from ..index.codec import varint_decode
 
     def fn(postings_pdfs, docmap_pdfs) -> pd.DataFrame:
@@ -137,12 +143,18 @@ def _shard_kernel(specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS)
             order = np.argsort(-ub, kind="stable")
             scores_acc: list[np.ndarray] = []
             ids_acc: list[np.ndarray] = []
-            theta = 0.0
+            # positive mode: θ starts at 0 — the reference's score>0 cut means
+            # a window can be skipped as soon as its bound is non-positive.
+            # match mode (positive_only=False): θ starts at -inf and a window
+            # is only skippable once the heap holds k exact scores above its
+            # bound (with all-negative idfs the clamped bounds are 0, so no
+            # window prunes — correct, just unpruned on degenerate corpora).
+            theta = 0.0 if positive_only else -np.inf
             heap_scores = np.zeros(0, dtype=np.float64)
             for w in order:
                 # strict <: a window with U_w == θ may still hold a kth-place
                 # tie, and the deterministic tie-break needs to see it
-                if ub[w] < theta or ub[w] <= 0.0:
+                if ub[w] < theta or (positive_only and ub[w] <= 0.0):
                     break  # remaining windows are provably below the kth score
                 lo = base + w * window_docs
                 hi = lo + window_docs
@@ -164,10 +176,11 @@ def _shard_kernel(specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS)
                 if cand.size == 0:
                     continue
                 cscores = wscore[cand]
-                pos = cscores > 0
-                cand, cscores = cand[pos], cscores[pos]
-                if cand.size == 0:
-                    continue
+                if positive_only:
+                    pos = cscores > 0
+                    cand, cscores = cand[pos], cscores[pos]
+                    if cand.size == 0:
+                        continue
                 scores_acc.append(cscores)
                 ids_acc.append(cand + lo)
                 heap_scores = np.concatenate([heap_scores, cscores])
@@ -193,14 +206,17 @@ def _shard_kernel(specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS)
     return fn
 
 
-def bm25_topk_wand(index, queries: DataFrame) -> DataFrame:
+def bm25_topk_wand(index, queries: DataFrame, positive_only: bool = True) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to full BM25 scoring.
 
-    ``index`` is a ``PhysicalIndex`` (see index/build.py).
+    ``index`` is a ``PhysicalIndex`` (see index/build.py). ``positive_only``
+    mirrors the reference's score>0 cut; False = match-mode ranking (every doc
+    matching >=1 known query term is eligible), same as
+    ``bm25_scores(..., positive_only=False)``.
     """
     spark = queries.sparkSession
     q_rows = [r.asDict() for r in queries.collect()]
-    specs, touched_terms = _query_specs(q_rows, index.terms)
+    specs, touched_terms = _query_specs(q_rows, index.terms, positive_only=positive_only)
     if not touched_terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
 
@@ -210,7 +226,9 @@ def bm25_topk_wand(index, queries: DataFrame) -> DataFrame:
         "max_score", "deltas", "tfs",
     )
     dm = index.docmap.select("shard", "doc_id", "doc_len")
-    kernel = _shard_kernel(specs, s.k1, s.b, s.avgdl, index.docs_per_shard)
+    kernel = _shard_kernel(
+        specs, s.k1, s.b, s.avgdl, index.docs_per_shard, positive_only=positive_only
+    )
     candidates = (
         pf.groupBy("shard")
         .cogroup(dm.groupBy("shard"))

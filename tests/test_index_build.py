@@ -159,3 +159,28 @@ def test_compression_ratio(built):
     ).collect()[0]
     raw = row["postings"] * 16  # int64 doc_id + int64 tf
     assert row["bytes"] < raw / 3
+
+
+def test_wand_match_mode_equals_dataframe_path(spark, built, corpus_small):
+    """positive_only=False: WAND over the physical index ranks exactly like the
+    declarative DF-join plan over the logical index (every doc matching >=1
+    known query term eligible, no score>0 cut)."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+
+    idx = build_logical_index(assign_doc_ids(corpus_small))
+    want = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(
+            idx.doc_terms, idx.terms, queries_df(spark), stats=idx.stats, positive_only=False
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk_wand(built, queries_df(spark), positive_only=False).collect()
+    }
+    assert set(got) == set(want)
+    for key, s in got.items():
+        assert s == pytest.approx(want[key], rel=1e-9)
