@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neural_search_spark.plans import driver_entry
+from neural_search_spark.plans import driver_entry, pipeline_entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(driver_entry.base_queries())
+    return {**driver_entry.base_queries(), **pipeline_entry.pipeline_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(driver_entry.base_oracles())
+    return {**driver_entry.base_oracles(), **pipeline_entry.pipeline_oracles()}

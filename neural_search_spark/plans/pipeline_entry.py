@@ -1,0 +1,435 @@
+"""Driver-contract entries for the training-data pipeline operators.
+
+Same contract as driver_entry.py: every operator gets a (queries, oracle_sql)
+pair over the driver's sf-dir tables, with identical column names and
+identical rounding on both sides. The SQL mirrors the Spark expressions
+construct-for-construct (same md5-derived hashing, same floor-divisions,
+same double arithmetic), so the driver's order-insensitive value-hash
+matches bit-for-bit after 6dp rounding.
+
+Operators without an oracle entry (approximate ANN, stubbed media decode)
+are intentionally rows-only in the driver's correctness gate; their
+correctness is pinned by pytest gates (recall-vs-brute-force, kernel
+determinism) instead of SQL equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text_analysis as TA
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+
+# --- shared SQL fragments ----------------------------------------------------
+
+_TOKS = """
+tok_arr AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+toks AS (SELECT doc_id, unnest(t) AS term FROM tok_arr)
+"""
+
+_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in generate_series(1, len(t) - 2)]
+           ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM tok_arr
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= {threshold}
+"""
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup_groups(_docs(spark, sf_dir)).select(
+        "group_hash", F.col("rep_doc_id").cast("long"), F.col("n_docs").cast("long")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS group_hash, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_TOKS},
+{_SHINGLES},
+mh AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || '#' || shingle)) AS h
+  FROM sh, range(12) r(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 3 AS band, md5(string_agg(h, '#' ORDER BY i)) AS band_key
+  FROM mh GROUP BY doc_id, i // 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.format(threshold=0.3)}
+"""
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {_TOKS},
+{_SHINGLES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.format(threshold=0.3)}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return DD.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * (((strpos('0123456789abcdef',
+                                 substr(md5(term), (j // 4) + 1, 1)) - 1)
+                          >> (j % 4)) & 1) - 1)) AS v
+  FROM tf, range(48) r(j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS fp
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def _query_vecs(spark, sf_dir):
+    return (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+
+
+def q_ann_topk_brute(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(_query_vecs(spark, sf_dir))).select(
+        "query_id",
+        "vec_id",
+        F.round(SIM.cosine_col(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("rank").cast("long"),
+            F.col("vec_id").cast("long"),
+            "score",
+        )
+    )
+
+
+SQL_ANN_TOPK_BRUTE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 10
+"""
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    return SIM.cosine_pairs(_emb(spark, sf_dir), threshold=0.3).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+SQL_EMB_COSINE_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    # approximate — rows-only in the driver gate; recall gate in pytest
+    return SIM.ann_lsh_topk(
+        _emb(spark, sf_dir),
+        _query_vecs(spark, sf_dir),
+        top_k=10,
+        n_planes=6,
+        probe_hamming=2,
+        query_vec_col="qv",
+    )
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_text_token_profile(spark, sf_dir):
+    return TA.token_profile(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.round("ttr", 6).alias("ttr"),
+    )
+
+
+SQL_TEXT_TOKEN_PROFILE = f"""
+WITH {_TOKS}
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_distinct,
+       round(CASE WHEN len(t) > 0
+             THEN len(list_distinct(t)) * 1.0 / len(t) ELSE 0.0 END, 6) AS ttr
+FROM tok_arr
+"""
+
+_SW_EN = ", ".join(f"'{w}'" for w in TA.STOPWORDS["en"])
+
+
+def q_text_quality(spark, sf_dir):
+    return TA.quality_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.round("quality", 6).alias("quality")
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {_TOKS},
+c AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> strlen(x))) * 1.0 / len(t)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN strlen(text) > 0
+              THEN strlen(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g')) * 1.0
+                   / strlen(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> list_contains([{_SW_EN}], x))) * 1.0 / len(t)
+              ELSE 0.0 END AS stop_ratio
+  FROM tok_arr
+)
+SELECT doc_id,
+       round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * least(alpha_ratio / 0.8, 1.0)
+           + 0.2 * least(stop_ratio / 0.3, 1.0), 6) AS quality
+FROM c
+"""
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in sorted(TA.STOPWORDS.items()) for w in ws
+)
+
+
+def q_text_lang_id(spark, sf_dir):
+    return TA.lang_id(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "pred_lang", F.col("hits").cast("long")
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH {_TOKS},
+sw(lang, word) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN sw ON toks.term = sw.word
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0)::BIGINT AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return TA.doc_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "fp"
+    )
+
+
+SQL_TEXT_FINGERPRINTS = f"""
+WITH {_TOKS},
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4
+           THEN [md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                 for i in generate_series(1, len(t) - 3)]
+           ELSE CAST([] AS VARCHAR[]) END AS h
+  FROM tok_arr
+)
+SELECT DISTINCT doc_id,
+       unnest(CASE WHEN len(h) >= 4
+         THEN [list_min(h[i:i+3]) for i in generate_series(1, len(h) - 3)]
+         ELSE h END) AS fp
+FROM hs
+"""
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def q_media_stats(spark, sf_dir):
+    media = MM.attach_fake_media(_docs(spark, sf_dir))
+    return MM.media_stats(media).select(
+        F.col("doc_id").cast("long"), "media_type", "byte_len", "content_md5"
+    )
+
+
+SQL_MEDIA_STATS = """
+SELECT doc_id, 'image/fake' AS media_type, strlen(text)::BIGINT AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_media_decode(spark, sf_dir):
+    # stubbed decode — rows-only in the driver gate; determinism in pytest
+    media = MM.attach_fake_media(_docs(spark, sf_dir))
+    return MM.decode_media(media, decode_stub="fake")
+
+
+# --- registries --------------------------------------------------------------
+
+
+def pipeline_queries() -> dict:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_cosine_pairs": q_emb_cosine_pairs,
+        "text_token_profile": q_text_token_profile,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprints": q_text_fingerprints,
+        "media_stats": q_media_stats,
+        "media_decode": q_media_decode,
+    }
+
+
+def pipeline_oracles() -> dict:
+    return {
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
+        "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
+        "text_token_profile": SQL_TEXT_TOKEN_PROFILE,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_lang_id": SQL_TEXT_LANG_ID,
+        "text_fingerprints": SQL_TEXT_FINGERPRINTS,
+        "media_stats": SQL_MEDIA_STATS,
+        # ann_topk_lsh, media_decode: intentionally no oracle (approximate /
+        # stubbed) — driver records the weaker rows-only check.
+    }
+
+
+def bench_queries() -> dict:
+    """The pipeline subset timed by bench.py."""
+    return {
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_brute": q_ann_topk_brute,
+        "text_quality": q_text_quality,
+        "text_fingerprints": q_text_fingerprints,
+    }

@@ -1,0 +1,264 @@
+"""Unit tests for the training-data pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing.
+
+Dedup tests use a corpus with *injected* duplicates (exact copies and
+near-copies with small edits) so the interesting paths are exercised — the
+driver testdata has no duplicate texts at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.functions import text_analysis as TA
+from neural_search_spark.operators import dedup as DD
+from neural_search_spark.operators import multimodal as MM
+from neural_search_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "a completely different document about spark sql window functions and joins",
+        "neural search engines combine sparse and dense retrieval for better recall",
+        "short doc",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows.append((10, base[0]))  # exact dup of 0
+    rows.append((11, base[0]))  # another exact dup of 0
+    # near-dup of 0: one word changed
+    rows.append((12, base[0].replace("lazy", "sleepy")))
+    # near-dup of 2: word appended
+    rows.append((13, base[2] + " indeed"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_corpus):
+    groups = {r["rep_doc_id"]: r["n_docs"] for r in DD.exact_dedup_groups(dup_corpus).collect()}
+    assert groups[0] == 3  # doc 0 + exact dups 10, 11
+    assert groups[1] == 1
+    deduped = DD.exact_dedup(dup_corpus)
+    kept = {r["doc_id"] for r in deduped.collect()}
+    assert 0 in kept and 10 not in kept and 11 not in kept
+    assert 12 in kept  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_near_dups(spark, dup_corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(dup_corpus, threshold=0.3).collect()
+    }
+    assert pairs[(0, 10)] == 1.0  # exact dups: jaccard 1
+    assert pairs[(0, 12)] > 0.5  # one-word edit
+    assert pairs[(2, 13)] > 0.5  # appended word
+    assert (1, 2) not in pairs  # unrelated docs
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, dup_corpus):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    # LSH output is a subset of the exact pairs (precision 1 by construction:
+    # candidates are verified with exact jaccard)...
+    assert lsh <= exact
+    # ...and at jaccard >= 0.5 with 4 bands x 3 rows recall should be total
+    # on this tiny corpus (P[share a band] ~ 1 - (1 - j^3)^4 = 0.93 at j=0.8)
+    assert (0, 10) in lsh and (0, 11) in lsh
+
+
+def test_simhash_identical_and_near(spark, dup_corpus):
+    fps = {r["doc_id"]: r["fp"] for r in DD.simhash_fingerprints(dup_corpus).collect()}
+    assert fps[0] == fps[10] == fps[11]  # identical text -> identical fp
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(dup_corpus, max_hamming=3).collect()
+    }
+    assert pairs[(0, 10)] == 0
+    assert (1, 2) not in pairs
+
+
+def test_simhash_banded_join_is_exact(spark, dup_corpus):
+    """The 4-band join must find exactly the pairs a brute-force cross join
+    finds at hamming <= 3 (pigeonhole guarantee)."""
+    fps = DD.simhash_fingerprints(dup_corpus)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in DD.simhash_pairs(dup_corpus, max_hamming=3).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        DD.simhash_pairs(dup_corpus, max_hamming=4)
+
+
+# --- similarity --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_queries(emb):
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_cosine_topk_self_is_rank1(spark, emb, emb_queries):
+    res = SIM.cosine_topk(emb, emb_queries, top_k=5)
+    rank1 = {r["query_id"]: (r["vec_id"], r["score"]) for r in res.where("rank = 1").collect()}
+    for qid, (vid, score) in rank1.items():
+        assert vid == qid  # a vector's nearest neighbor is itself
+        assert score == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_queries):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    got = SIM.cosine_topk(emb, emb_queries, top_k=10).collect()
+    by_q: dict = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for q in range(5):
+        sims = M @ M[ids.index(q)]
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:10]
+        want = [(ids[i], sims[i]) for i in order]
+        assert [v for v, _ in by_q[q]] == [v for v, _ in want]
+        for (_, gs), (_, ws) in zip(by_q[q], want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_ann_lsh_recall_beats_random_sampling(spark, emb, emb_queries):
+    n_planes, probe = 6, 2
+    brute = {(r["query_id"], r["vec_id"]) for r in SIM.cosine_topk(emb, emb_queries, top_k=10).collect()}
+    ann = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.ann_lsh_topk(
+            emb, emb_queries, top_k=10, n_planes=n_planes, probe_hamming=probe
+        ).collect()
+    }
+    recall = len(ann & brute) / len(brute)
+    n_probes = 1 + n_planes + n_planes * (n_planes - 1) // 2
+    probe_fraction = n_probes / 2**n_planes
+    # the gate: better than scoring a random probe_fraction of the corpus
+    assert recall >= min(1.0, 1.3 * probe_fraction), (recall, probe_fraction)
+
+
+def test_cosine_pairs_symmetric_threshold(spark, emb):
+    pairs = SIM.cosine_pairs(emb, threshold=0.3).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.3
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def test_token_profile_basics(spark, dup_corpus):
+    prof = {r["doc_id"]: r for r in TA.token_profile(dup_corpus).collect()}
+    assert prof[3]["n_tokens"] == 2
+    assert prof[3]["n_distinct"] == 2
+    assert prof[0]["n_tokens"] == 14
+    assert prof[0]["ttr"] == pytest.approx(prof[0]["n_distinct"] / 14)
+
+
+def test_quality_score_bounds_and_signal(spark, dup_corpus):
+    q = {r["doc_id"]: r["quality"] for r in TA.quality_score(dup_corpus).collect()}
+    for v in q.values():
+        assert 0.0 <= v <= 1.0
+    # the stopword-rich English sentence outscores the 2-token fragment
+    assert q[0] > q[3]
+
+
+def test_lang_id_english_and_und(spark):
+    df = spark.sparkContext.parallelize(
+        [
+            (0, "the cat and the dog went to the house in the morning"),
+            (1, "der hund und die katze von dem haus mit den kindern"),
+            (2, "zzz qqq xxx"),
+        ]
+    ).toDF(["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in TA.lang_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_fingerprints_detect_shared_passages(spark, dup_corpus):
+    fp = TA.doc_fingerprints(dup_corpus)
+    by_doc: dict = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] == by_doc[10]  # identical docs: identical fingerprint set
+    # near-dup still shares fingerprints with the original (a mid-document
+    # edit invalidates every window covering the edited k-gram, so on a
+    # 14-token doc only the prefix/suffix windows survive)
+    inter = len(by_doc[0] & by_doc[12])
+    union = len(by_doc[0] | by_doc[12])
+    assert inter / union >= 0.25
+    # unrelated docs share none
+    assert not (by_doc[1] & by_doc[2])
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_media_plumbing_deterministic(spark, dup_corpus):
+    media = MM.attach_fake_media(dup_corpus)
+    a = {tuple(r) for r in MM.decode_media(media, decode_stub="fake").collect()}
+    b = {tuple(r) for r in MM.decode_media(media, decode_stub="fake").collect()}
+    assert a == b and len(a) == dup_corpus.count()
+    stats = {r["doc_id"]: r for r in MM.media_stats(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in dup_corpus.collect()}
+    import hashlib
+
+    for doc_id, text in texts.items():
+        assert stats[doc_id]["byte_len"] == len(text.encode())
+        assert stats[doc_id]["content_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_media_decode_error_stub_marks_integration_point(spark, dup_corpus):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    media = MM.attach_fake_media(dup_corpus)
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        MM.decode_media(media, decode_stub="error").collect()
+
+
+def test_frame_sample_plan(spark, dup_corpus):
+    media = MM.attach_fake_media(dup_corpus)
+    decoded = MM.decode_media(media, decode_stub="fake")
+    frames = MM.frame_sample_plan(decoded, every_n=8)
+    n_frames = {r["doc_id"]: r["n_frames"] for r in decoded.collect()}
+    got: dict = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in got.items():
+        assert idxs == list(range(0, max(n_frames[doc_id] - 1, 0) + 1, 8))
