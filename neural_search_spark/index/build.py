@@ -8,7 +8,7 @@ table shapes are exactly the SURVEY.md §1.2 Iceberg schemas):
     corpus_stats/  (n_docs, avgdl, average_idf, k1, b, epsilon,
                     docs_per_shard, block_size)             phase 1
     postings/shard=K/  (term, bucket, block_id, first_doc_id, last_doc_id,
-                        n_docs, max_score, deltas, tfs)     phase 2, per wave
+                        n_docs, max_tf, min_dl, deltas, tfs) phase 2, per wave
     _metrics/      (build_id, wave, shard, n_terms, n_postings, n_blocks,
                     deltas_bytes, tfs_bytes, elapsed_sec)   lineage per shard
     _checkpoint.json   {fingerprint, phase1_done, done_shards, build_id}
@@ -57,7 +57,7 @@ from .stats import CorpusStats, floored_term_stats, term_stats
 
 POSTINGS_SCHEMA = (
     "shard int, bucket int, term string, block_id int, first_doc_id long, "
-    "last_doc_id long, n_docs int, max_score double, deltas binary, tfs binary"
+    "last_doc_id long, n_docs int, max_tf int, min_dl int, deltas binary, tfs binary"
 )
 
 
@@ -108,9 +108,10 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _encode_kernel(params: BM25Params, avgdl: float, docs_per_shard: int, block_size: int):
-    k1, b = params.k1, params.b
-
+def _encode_kernel(docs_per_shard: int, block_size: int):
+    # stats-independent: blocks carry (max_tf, min_dl); the WAND bound is
+    # computed at query time from CURRENT idf/avgdl (see codec.py docstring),
+    # so this kernel needs no term_stats join and no global stats.
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
@@ -121,10 +122,6 @@ def _encode_kernel(params: BM25Params, avgdl: float, docs_per_shard: int, block_
                 g["doc_id"].to_numpy(),
                 g["tf"].to_numpy(),
                 g["doc_len"].to_numpy(),
-                float(g["idf"].iloc[0]),
-                k1,
-                b,
-                avgdl,
                 shard_base=base,
                 block_size=block_size,
             )
@@ -138,7 +135,8 @@ def _encode_kernel(params: BM25Params, avgdl: float, docs_per_shard: int, block_
                         "first_doc_id": blk["first_doc_id"],
                         "last_doc_id": blk["last_doc_id"],
                         "n_docs": blk["n_docs"],
-                        "max_score": blk["max_score"],
+                        "max_tf": blk["max_tf"],
+                        "min_dl": blk["min_dl"],
                         "deltas": blk["deltas"],
                         "tfs": blk["tfs"],
                     }
@@ -153,7 +151,8 @@ def _encode_kernel(params: BM25Params, avgdl: float, docs_per_shard: int, block_
                 "first_doc_id",
                 "last_doc_id",
                 "n_docs",
-                "max_score",
+                "max_tf",
+                "min_dl",
                 "deltas",
                 "tfs",
             ],
@@ -263,9 +262,6 @@ def build_index(
     if todo:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         docmap_df = spark.read.parquet(paths.docmap)
-        terms_df = spark.read.parquet(paths.term_stats)
-        stats_row = spark.read.parquet(paths.corpus_stats).collect()[0]
-        avgdl = float(stats_row["avgdl"])
 
         wave_size = max(1, -(-len(todo) // max(1, waves)))
         for wi in range(0, len(todo), wave_size):
@@ -284,13 +280,12 @@ def build_index(
                 )
             dt = doc_terms(wave_docs, id_col="doc_id", text_col=text_col)
             dt = dt.withColumn("shard", (F.col("doc_id") / span).cast("int"))
-            dt = dt.join(terms_df.select("term", "idf"), "term")
             # native crc32 (JVM-side) — bucket is internal layout only
             dt = dt.withColumn(
                 "bucket", (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int")
             )
             encoded = dt.groupBy("shard", "bucket").applyInPandas(
-                _encode_kernel(params, avgdl, span, layout.block_size),
+                _encode_kernel(span, layout.block_size),
                 schema=POSTINGS_SCHEMA,
             )
             encoded.write.mode("overwrite").partitionBy("shard").parquet(paths.postings)

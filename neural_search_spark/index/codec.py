@@ -1,4 +1,4 @@
-"""Posting-block codec: docID-delta + varint, with per-block max-score bounds.
+"""Posting-block codec: docID-delta + varint, with per-block WAND metadata.
 
 Pure-numpy bit twiddling (no per-element Python in the hot loops): the varint
 encoder expands each uint64 into its 7-bit groups with vectorized shifts and a
@@ -7,11 +7,21 @@ segment-id trick over the continuation bits. Runs inside the build-side
 ``applyInPandas`` and the query-side kernels (SURVEY.md §4.2.1).
 
 Block layout (one parquet row per block, flat — columnar-friendly):
-    term, shard, block_id, first_doc_id, n_docs, max_score, deltas, tfs
-``deltas[0]`` is ``doc_id[0] - shard_base``; subsequent are gaps-1 is NOT used
-(plain gaps) to keep the codec trivial to verify. ``max_score`` is the exact
-maximum single-occurrence BM25 contribution of the term within the block
-(idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))), the WAND-safe upper bound.
+    term, shard, block_id, first_doc_id, n_docs, max_tf, min_dl, deltas, tfs
+``deltas[0]`` is ``doc_id[0] - shard_base``; subsequent are plain gaps (no -1
+offset) to keep the codec trivial to verify.
+
+WAND metadata is **stats-independent**: blocks store ``max_tf`` (max term
+frequency in the block) and ``min_dl`` (min doc length among the block's
+docs); the per-block score bound is computed at QUERY time as
+``idf * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl))`` — a valid upper
+bound because the BM25 contribution is increasing in tf and decreasing in dl.
+This keeps posting blocks immutable under corpus growth: appends/deletes
+shift every idf (the epsilon-floor couples the whole vocabulary through
+``average_idf``) and shift ``avgdl``, but only the small stats tables need
+rewriting — the compressed postings of untouched shards stay valid. At 10^12
+docs that is the difference between an O(vocabulary) metadata refresh and an
+O(index) rewrite per ingest batch.
 """
 
 from __future__ import annotations
@@ -97,27 +107,38 @@ def bm25_term_bound(
     return idf * (tf * (k1 + 1.0) / denom)
 
 
+def block_score_bound(
+    max_tf: np.ndarray, min_dl: np.ndarray, idf: float, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Per-block upper bound of the term's BM25 contribution, from the
+    stats-independent block metadata and the CURRENT global stats.
+
+    Valid because the contribution is monotone increasing in tf and monotone
+    decreasing in dl: every doc in the block has tf <= max_tf and dl >= min_dl,
+    so bound(max_tf, min_dl) >= score(tf, dl). (For negative floored idfs the
+    query kernel clamps bounds at 0 — a doc *lacking* the term scores higher.)
+    """
+    return bm25_term_bound(np.asarray(max_tf), np.asarray(min_dl), idf, k1, b, avgdl)
+
+
 def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
-    idf: float,
-    k1: float,
-    b: float,
-    avgdl: float,
     shard_base: int,
     block_size: int = _BLOCK,
 ) -> list[dict]:
     """Split one term's sorted shard postings into compressed blocks.
 
     Returns a list of dicts ready to become parquet rows:
-    {block_id, first_doc_id, last_doc_id, n_docs, max_score, deltas, tfs}
+    {block_id, first_doc_id, last_doc_id, n_docs, max_tf, min_dl, deltas, tfs}
+    Blocks depend only on the shard's own (doc_id, tf, doc_len) — never on
+    global stats — so incremental maintenance touches only changed shards.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     doc_lens = np.asarray(doc_lens, dtype=np.int64)[order]
-    scores = bm25_term_bound(tfs, doc_lens, idf, k1, b, avgdl)
     out = []
     for bi, start in enumerate(range(0, len(doc_ids), block_size)):
         sl = slice(start, start + block_size)
@@ -128,7 +149,8 @@ def encode_posting_blocks(
                 "first_doc_id": int(ids[0]),
                 "last_doc_id": int(ids[-1]),
                 "n_docs": int(len(ids)),
-                "max_score": float(scores[sl].max()),
+                "max_tf": int(tfs[sl].max()),
+                "min_dl": int(doc_lens[sl].min()),
                 "deltas": encode_doc_ids(ids, shard_base if start == 0 else int(doc_ids[start - 1])),
                 "tfs": varint_encode(tfs[sl].astype(np.uint64)),
             }

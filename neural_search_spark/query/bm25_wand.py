@@ -10,7 +10,9 @@ provably rank-safe).
 
 Pruning scheme — block-max windowed WAND (a BMW variant shaped for columnar
 batches): the shard's doc range is cut into fixed windows; each window's
-upper bound U_w = Σ_t qtf_t · max(0, max block max_score of t overlapping w).
+upper bound U_w = Σ_t qtf_t · max(0, max block score bound of t overlapping w),
+where each block bound is computed at query time from the stats-independent
+(max_tf, min_dl) metadata and the CURRENT idf/avgdl (codec.block_score_bound).
 Windows are visited in descending U_w; once the running top-k threshold θ
 (kth best exact score so far, 0 until the heap fills) satisfies θ ≥ U_w, all
 remaining windows are provably below the kth result and are skipped without
@@ -78,7 +80,7 @@ def _query_specs(queries_rows, terms_df, positive_only=True) -> tuple[list[dict]
 def _shard_kernel(
     specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS, positive_only=True
 ):
-    from ..index.codec import varint_decode
+    from ..index.codec import block_score_bound, varint_decode
 
     def fn(postings_pdfs, docmap_pdfs) -> pd.DataFrame:
         postings = pd.concat(list(postings_pdfs), ignore_index=True) if postings_pdfs is not None else None
@@ -94,7 +96,14 @@ def _shard_kernel(
         local = docmap["doc_id"].to_numpy() - base
         dl[local] = docmap["doc_len"].to_numpy()
 
-        # decode cache: term -> (doc_ids, tfs, per-block meta)
+        # per-term idf for bound computation (block metadata is
+        # stats-independent; bounds use CURRENT idf/avgdl — codec.py)
+        term_idf = {}
+        for spec in specs:
+            for t, (_qtf, idf) in spec["terms"].items():
+                term_idf[t] = idf
+
+        # decode cache: term -> (doc_ids, tfs, per-block meta + bounds)
         by_term: dict[str, dict] = {}
         for term, g in postings.groupby("term", sort=False):
             g = g.sort_values("block_id")
@@ -102,7 +111,14 @@ def _shard_kernel(
             prev = base
             firsts = g["first_doc_id"].to_numpy()
             lasts = g["last_doc_id"].to_numpy()
-            maxs = g["max_score"].to_numpy()
+            bounds = block_score_bound(
+                g["max_tf"].to_numpy(),
+                g["min_dl"].to_numpy(),
+                term_idf.get(term, 0.0),
+                k1,
+                b,
+                avgdl,
+            )
             for _, blk in g.iterrows():
                 deltas = varint_decode(blk["deltas"], blk["n_docs"]).astype(np.int64)
                 ids = np.cumsum(deltas) + prev
@@ -114,7 +130,7 @@ def _shard_kernel(
                 "tfs": np.concatenate(tf_parts),
                 "first": firsts,
                 "last": lasts,
-                "max": maxs,
+                "max": bounds,
             }
 
         n_windows = -(-docs_per_shard // window_docs)
@@ -223,7 +239,7 @@ def bm25_topk_wand(index, queries: DataFrame, positive_only: bool = True) -> Dat
     s = index.stats
     pf = index.postings.where(F.col("term").isin(touched_terms)).select(
         "shard", "term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
-        "max_score", "deltas", "tfs",
+        "max_tf", "min_dl", "deltas", "tfs",
     )
     dm = index.docmap.select("shard", "doc_id", "doc_len")
     kernel = _shard_kernel(

@@ -51,24 +51,32 @@ def test_doc_id_delta_roundtrip(ids):
     assert (decode_doc_ids(buf, 0, len(ids)) == ids).all()
 
 
-def test_posting_block_roundtrip_and_maxscore():
+def test_posting_block_roundtrip_and_bounds():
+    from neural_search_spark.index.codec import block_score_bound
+
     rng = np.random.default_rng(7)
     n = 1000
     doc_ids = np.sort(rng.choice(np.arange(100000, 165536), size=n, replace=False))
     tfs = rng.integers(1, 30, size=n)
     dls = rng.integers(20, 400, size=n)
-    idf, k1, b, avgdl = 2.5, 1.5, 0.75, 210.0
-    blocks = encode_posting_blocks(doc_ids, tfs, dls, idf, k1, b, avgdl, shard_base=100000, block_size=128)
+    blocks = encode_posting_blocks(doc_ids, tfs, dls, shard_base=100000, block_size=128)
     got_ids, got_tfs = decode_posting_blocks(blocks, shard_base=100000)
     assert (got_ids == doc_ids).all()
     assert (got_tfs == tfs).all()
-    # block max is the exact max of the per-posting contribution
-    scores = bm25_term_bound(tfs, dls, idf, k1, b, avgdl)
-    for i, blk in enumerate(blocks):
-        sl = slice(i * 128, (i + 1) * 128)
-        assert blk["max_score"] == pytest.approx(scores[sl].max(), rel=1e-12)
-        assert blk["first_doc_id"] == doc_ids[sl][0]
-        assert blk["last_doc_id"] == doc_ids[sl][-1]
+    # stats-independent metadata: max_tf / min_dl are block extrema, and the
+    # query-time bound dominates every per-posting score for ANY stats
+    for idf, k1, b, avgdl in [(2.5, 1.5, 0.75, 210.0), (0.4, 1.2, 0.75, 57.0)]:
+        scores = bm25_term_bound(tfs, dls, idf, k1, b, avgdl)
+        for i, blk in enumerate(blocks):
+            sl = slice(i * 128, (i + 1) * 128)
+            assert blk["max_tf"] == tfs[sl].max()
+            assert blk["min_dl"] == dls[sl].min()
+            assert blk["first_doc_id"] == doc_ids[sl][0]
+            assert blk["last_doc_id"] == doc_ids[sl][-1]
+            bound = block_score_bound(
+                np.array([blk["max_tf"]]), np.array([blk["min_dl"]]), idf, k1, b, avgdl
+            )[0]
+            assert bound >= scores[sl].max() - 1e-12
 
 
 def test_compression_is_compact():

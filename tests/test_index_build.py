@@ -98,7 +98,7 @@ def test_build_determinism(spark, corpus_small, tmp_path):
         return sorted(
             (
                 (r["shard"], r["term"], r["block_id"], bytes(r["deltas"]), bytes(r["tfs"]),
-                 r["max_score"], r["first_doc_id"], r["last_doc_id"], r["n_docs"])
+                 r["max_tf"], r["min_dl"], r["first_doc_id"], r["last_doc_id"], r["n_docs"])
                 for r in idx.postings.collect()
             )
         )
