@@ -15,9 +15,14 @@ Headline workloads:
 plus (as implemented) the training-data-pipeline operators: dedup,
 similarity search, text analysis — each timed as its own entry.
 
-``python bench.py --scaling`` additionally re-runs the index build at
-local[8] vs local[32] (the sandbox stand-in for N vs 4N executors) and
-reports throughput at both plus scaling efficiency; see BASELINE.md.
+``python bench.py --scaling`` additionally runs the north-rule scaling
+evidence: the full index-build + query workload over a deterministic
+synthetic web corpus (``$SPARK_GRAFT_SCALE_DOCS`` docs, default 100k —
+large enough that parallelism, not fixed overhead, dominates) at local[8]
+vs local[32] (the sandbox stand-in for N vs 4N executors), reporting
+docs/sec at both plus scaling efficiency; see BASELINE.md. The driver's
+sf-dir tables are NOT used for this: 5k docs cannot feed 32 cores, so the
+measurement would only measure scheduler overhead.
 """
 
 from __future__ import annotations
@@ -122,25 +127,117 @@ def main() -> None:
 
     if scaling:
         spark.stop()
-        scale_points = {}
-        for n in (8, 32):
-            sp = _fresh_spark(f"local[{n}]", n)
-            t = run_suite(sp, sf_dir, n)
-            scale_points[n] = {k: round(v, 3) for k, v in t.items() if not k.startswith("_")}
-            sp.stop()
-        t8 = sum(scale_points[8].values())
-        t32 = sum(scale_points[32].values())
-        # efficiency = speedup achieved / core ratio
-        result["scaling"] = {
-            "local8_sec": round(t8, 3),
-            "local32_sec": round(t32, 3),
-            "speedup": round(t8 / t32, 3),
-            "core_ratio": 4.0,
-            "efficiency": round((t8 / t32) / 4.0, 3),
-            "per_query": {str(k): v for k, v in scale_points.items()},
-        }
+        result["scaling"] = run_scaling(
+            n_docs=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+        )
 
     print(json.dumps(result))
+
+
+_SCALE_JOB = """
+import json, shutil, sys, tempfile, time
+from pyspark.sql import SparkSession
+from neural_search_spark.config import IndexLayout
+from neural_search_spark.corpus import queries_df
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query.bm25_wand import bm25_topk_wand
+
+corpus_path, n_docs = sys.argv[1], int(sys.argv[2])
+spark = SparkSession.builder.getOrCreate()
+out_dir = tempfile.mkdtemp(prefix="nss_scale_idx_")
+try:
+    t0 = time.time()
+    index = build_index(
+        spark.read.parquet(corpus_path), out_dir,
+        layout=IndexLayout(docs_per_shard=4096, block_size=128), n_buckets=64,
+    )
+    build_sec = time.time() - t0
+    t0 = time.time()
+    n = bm25_topk_wand(index, queries_df(spark)).count()
+    query_sec = time.time() - t0
+    assert n > 0
+    print("SCALE_RESULT " + json.dumps({
+        "build_sec": round(build_sec, 3),
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_sec": round(query_sec, 3),
+    }))
+finally:
+    shutil.rmtree(out_dir, ignore_errors=True)
+"""
+
+
+def run_scale_point(cores: int, corpus_path: str, n_docs: int) -> dict:
+    """One parallelism level, in its OWN spark-submit process (--py-files,
+    the north-rule deployment mode): fresh JVM so driver memory / scheduler
+    state can't leak between the local[8] and local[32] measurements."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pyzip = os.path.join(tempfile.gettempdir(), "nss_bench_pkg.zip")
+    if not os.path.exists(pyzip):
+        subprocess.run(
+            ["zip", "-qr", pyzip, "neural_search_spark"], cwd=repo, check=True
+        )
+    job = os.path.join(tempfile.gettempdir(), "nss_scale_job.py")
+    with open(job, "w") as f:
+        f.write(_SCALE_JOB)
+    env = dict(os.environ)
+    # one BLAS/OpenMP thread per Python worker: otherwise each of the
+    # ``cores`` workers spawns nproc BLAS threads (cores x nproc total) and
+    # the measurement drowns in scheduler thrash
+    env.update(
+        OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1"
+    )
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--driver-memory", "24g",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={cores}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+            "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+            "--py-files", pyzip,
+            job, corpus_path, str(n_docs),
+        ],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALE_RESULT "):
+            return json.loads(line[len("SCALE_RESULT "):])
+    raise RuntimeError(f"scale point failed (cores={cores}): {proc.stderr[-2000:]}")
+
+
+def run_scaling(n_docs: int = 400000) -> dict:
+    """North-rule evidence: same job at local[8] and local[32] on the same
+    input; efficiency = speedup / core-ratio, target >= 0.8. The corpus must
+    be large enough that parallel work dominates the serial fraction
+    (driver barriers, sampling jobs, session setup) — Amdahl at 50k docs
+    caps measurable efficiency around 0.3 no matter how well the plan
+    scales, which is why the default is 400k."""
+    from neural_search_spark.corpus import write_scale_corpus
+
+    corpus_path = f"/tmp/nss_scale_corpus_{n_docs}"
+    if not os.path.exists(corpus_path):
+        sp = _fresh_spark("local[32]", 32)
+        write_scale_corpus(sp, corpus_path, n_docs=n_docs, partitions=64)
+        sp.stop()
+
+    points = {n: run_scale_point(n, corpus_path, n_docs) for n in (8, 32)}
+    t8 = points[8]["build_sec"] + points[8]["query_sec"]
+    t32 = points[32]["build_sec"] + points[32]["query_sec"]
+    return {
+        "n_docs": n_docs,
+        "local8": points[8],
+        "local32": points[32],
+        "local8_sec": round(t8, 3),
+        "local32_sec": round(t32, 3),
+        "speedup": round(t8 / t32, 3),
+        "core_ratio": 4.0,
+        "efficiency": round((t8 / t32) / 4.0, 3),
+    }
 
 
 if __name__ == "__main__":

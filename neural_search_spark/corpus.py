@@ -129,3 +129,54 @@ def queries_pdf() -> pd.DataFrame:
 
 def queries_df(spark):
     return spark.createDataFrame(queries_pdf())
+
+
+def write_scale_corpus(
+    spark, path: str, n_docs: int, seed: int = 42, partitions: int = 64
+) -> None:
+    """Distributed deterministic corpus generator for scaling benchmarks.
+
+    ``make_corpus_pdf`` builds the corpus on the driver (fine for test
+    fixtures, a non-starter past ~100k docs); this generates per-partition
+    with an rng seeded by (seed, partition_id) over ``spark.range``'s
+    deterministic contiguous id ranges — the same (n_docs, seed, partitions)
+    triple produces identical rows on any cluster size. Schema matches the
+    input_hint corpus; ``html`` is left empty (the build never reads it, and
+    the point of this corpus is to feed the tokenize/index path, not the
+    extraction invariant — that is make_corpus_pdf's job).
+    """
+    import numpy as np
+
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        rng = np.random.default_rng((seed, TaskContext.get().partitionId()))
+        vocab = np.array(_vocab())
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lengths = rng.integers(20, 401, size=len(ids))
+            ranks = np.minimum(rng.zipf(1.3, size=int(lengths.sum())), VOCAB_SIZE) - 1
+            words = vocab[ranks]
+            texts = []
+            off = 0
+            for ln in lengths:
+                texts.append(" ".join(words[off : off + ln]))
+                off += int(ln)
+            langs = [
+                "en" if int(i) % 10 != 9 else ["de", "fr", "es"][(int(i) // 10) % 3]
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": [f"https://site{int(i) % 97}.example/page/{int(i):09d}" for i in ids],
+                    "warc_ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(ids, unit="s"),
+                    "html": [b""] * len(ids),
+                    "text": texts,
+                    "lang": langs,
+                }
+            )
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    base.mapInPandas(kernel, schema=schema).write.mode("overwrite").parquet(path)

@@ -41,16 +41,14 @@ import os
 import time
 import uuid
 import zlib
-from collections.abc import Iterable
 from dataclasses import dataclass
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_LAYOUT, DEFAULT_PARAMS, BM25Params, IndexLayout
-from ..functions.tokenize import doc_lengths, doc_terms
+from ..functions.tokenize import doc_terms
 from .codec import encode_posting_blocks
 from .docmap import assign_doc_ids
 from .stats import CorpusStats, floored_term_stats, term_stats
@@ -193,16 +191,17 @@ def build_index(
             with_ids = assign_doc_ids(corpus, order_col=url_col)
         else:
             with_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
-        dl = doc_lengths(with_ids, id_col="doc_id", text_col=text_col)
-        docmap_df = (
-            with_ids.select("doc_id", F.col(url_col).alias("url"))
-            .join(dl, "doc_id")
-            .select(
-                (F.col("doc_id") / span).cast("int").alias("shard"),
-                "doc_id",
-                "url",
-                "doc_len",
-            )
+        # doc_len computed inline in the docmap projection — a per-row pandas
+        # UDF in the same stage, no shuffle join against a separate
+        # doc_lengths pass (serial-fraction killer at small SF, one less
+        # barrier at any SF)
+        from ..functions.tokenize import token_count_udf
+
+        docmap_df = with_ids.select(
+            (F.col("doc_id") / span).cast("int").alias("shard"),
+            "doc_id",
+            F.col(url_col).alias("url"),
+            token_count_udf(F.col(text_col)).alias("doc_len"),
         )
         docmap_df.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
 
@@ -215,11 +214,14 @@ def build_index(
         n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
 
         dt = doc_terms(with_ids, id_col="doc_id", text_col=text_col)
-        ts = term_stats(dt, n_docs)
+        # cache the vocabulary-sized term stats: the average_idf agg and the
+        # floored write would otherwise EACH re-run the full tokenize pass
+        ts = term_stats(dt, n_docs).persist()
         average_idf = float(ts.agg(F.avg("raw_idf")).collect()[0][0] or 0.0)
         floored_term_stats(ts, average_idf, params).write.mode("overwrite").parquet(
             paths.term_stats
         )
+        ts.unpersist()
         spark.createDataFrame(
             [
                 (

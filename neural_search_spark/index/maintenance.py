@@ -163,9 +163,16 @@ def add_documents(
     from pyspark.sql import Window
 
     w = Window.orderBy(url_col)
+    # eager localCheckpoint SEVERS lineage: callers may pass ``new_docs`` as a
+    # plan reading the index's own tables (the streaming ingest anti-joins
+    # docmap), and Spark invalidates caches on any write to a source path
+    # (refreshByPath on insert) — so a mere persist() would silently
+    # re-evaluate against the post-mutation docmap. Checkpointed blocks have
+    # no path dependency. (Iceberg deployment: read the pre-commit snapshot
+    # instead.)
     with_ids = new_docs.withColumn(
         "doc_id", F.row_number().over(w).cast("long") + F.lit(next_id - 1)
-    )
+    ).localCheckpoint(eager=True)
     dl = doc_lengths(with_ids, id_col="doc_id", text_col=text_col)
     new_rows = (
         with_ids.select("doc_id", F.col(url_col).alias("url"))
@@ -189,17 +196,23 @@ def add_documents(
         r["shard"] for r in new_rows.select("shard").distinct().collect()
     )
 
-    # docmap: affected partitions = surviving old rows + new rows
-    old_in_affected = idx.docmap.where(F.col("shard").isin(affected))
-    _overwrite_docmap_shards(
-        spark, paths, affected, old_in_affected.unionByName(new_rows)
-    )
-
-    # stats: incremental — df deltas from the new docs only
+    # stats delta MUST be materialized before any index table is mutated:
+    # callers may pass ``new_docs`` as a plan that reads the index itself
+    # (e.g. the streaming ingest anti-joins against docmap to drop seen
+    # urls), and re-evaluating it after the docmap rewrite would see the
+    # post-mutation state and produce an empty/partial delta.
     delta = (
         doc_terms(with_ids, id_col="doc_id", text_col=text_col)
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("d_df"))
+    )
+    delta.persist()
+    delta.count()
+
+    # docmap: affected partitions = surviving old rows + new rows
+    old_in_affected = idx.docmap.where(F.col("shard").isin(affected))
+    _overwrite_docmap_shards(
+        spark, paths, affected, old_in_affected.unionByName(new_rows)
     )
     merged = (
         idx.terms.select("term", "df")
@@ -221,6 +234,7 @@ def add_documents(
     ckpt["fingerprint"]["avgdl"] = avgdl
     _invalidate_shards(paths, ckpt, affected)
     new_rows.unpersist()
+    delta.unpersist()
     return build_index(
         corpus, out_dir, text_col=text_col, url_col=url_col, params=params, layout=layout
     )
@@ -277,16 +291,16 @@ def remove_documents(
     params, layout = _params_from_index(idx)
     ckpt = _read_checkpoint(paths)
 
-    removed = idx.docmap.where(F.col("url").isin(urls)).select(
-        "shard", "doc_id", "doc_len"
+    removed = (
+        idx.docmap.where(F.col("url").isin(urls))
+        .select("shard", "doc_id", "doc_len")
+        .localCheckpoint(eager=True)  # sever docmap lineage (see add_documents)
     )
-    removed.persist()
     agg = removed.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("sum_dl")
     ).collect()[0]
     n_removed, sum_dl_removed = int(agg["n"]), float(agg["sum_dl"] or 0.0)
     if n_removed == 0:
-        removed.unpersist()
         return idx
     affected = sorted(r["shard"] for r in removed.select("shard").distinct().collect())
 
@@ -322,7 +336,6 @@ def remove_documents(
     _overwrite_docmap_shards(spark, paths, affected, surviving)
 
     _invalidate_shards(paths, ckpt, affected)
-    removed.unpersist()
     return build_index(
         corpus_after, out_dir, text_col=text_col, url_col=url_col,
         params=params, layout=layout,

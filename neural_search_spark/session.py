@@ -25,6 +25,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # only effective for the first session in a process (the JVM is
+        # reused after spark.stop()); benchmark runs use one process per
+        # parallelism level so this always applies there
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")

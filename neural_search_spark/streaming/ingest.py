@@ -1,0 +1,161 @@
+"""Structured Streaming ingest: continuous corpus indexing + event analytics.
+
+Two streaming surfaces:
+
+1. **Streaming corpus ingest → incremental index** (``stream_index_corpus``):
+   a file-source stream over a corpus directory (new parquet files = new
+   ingest batches, exactly how a Common-Crawl dump lands on object storage),
+   with ``foreachBatch`` committing each micro-batch through the incremental
+   maintenance path (index/maintenance.py). Exactly-once story: Structured
+   Streaming's checkpoint tracks which source files are committed, and the
+   index build's own shard manifest makes the per-batch commit idempotent —
+   a batch replayed after a crash rebuilds the same shards to the same bytes
+   (dedup on url inside the batch handles at-least-once file delivery).
+
+2. **Windowed event analytics with late data** (``windowed_event_counts``):
+   event-time tumbling windows + watermark over the ``events`` stream shape
+   (driver testdata events.parquet), the standard aggregation the reference's
+   Prometheus counters approximate (SURVEY.md §2.8 C2 — theirs are
+   process-local and lossy; these are event-time-correct with bounded state).
+
+At scale both run unchanged: the file source lists new objects per trigger,
+maxFilesPerTrigger bounds batch size, and state for the windowed agg is
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_corpus(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a corpus directory of parquet files."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_index_corpus(
+    corpus_stream: DataFrame,
+    corpus_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    layout=None,
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """writeStream: each micro-batch of new corpus files is appended to the
+    index via incremental maintenance (or a first full build).
+
+    Returns the StreamingQuery. With ``available_now`` the stream drains all
+    currently-available files then stops — the batch-backfill trigger; a
+    deployment would use a processingTime trigger instead.
+    """
+    import os
+
+    from ..config import DEFAULT_LAYOUT
+    from ..index.build import build_index
+    from ..index.maintenance import add_documents
+
+    layout = layout or DEFAULT_LAYOUT
+    spark = corpus_stream.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # at-least-once file delivery -> drop urls already in the index
+        new_docs = batch_df.dropDuplicates(["url"])
+        if not os.path.exists(os.path.join(index_dir, "_checkpoint.json")):
+            build_index(new_docs, index_dir, layout=layout, n_buckets=n_buckets)
+            return
+        full = spark.read.parquet(corpus_path)
+        from ..index.build import load_index
+
+        idx = load_index(spark, index_dir)
+        seen = idx.docmap.select("url")
+        fresh = new_docs.join(seen, "url", "left_anti")
+        add_documents(full, index_dir, fresh)
+
+    writer = (
+        corpus_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums per event_type, late-data-safe.
+
+    The watermark bounds state: windows older than (max event time seen -
+    watermark) are finalized and evicted; later-arriving events for them are
+    dropped by contract. Works identically on a static DataFrame (tests
+    compare against the batch result).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def run_windowed_events_to_memory(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    table_name: str = "windowed_events",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Drive the windowed agg as a real stream into a memory sink (complete
+    mode), draining available files; returns the StreamingQuery."""
+    ev = stream_events(spark, events_path)
+    agg = windowed_event_counts(ev, window_duration, watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

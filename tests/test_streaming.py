@@ -1,0 +1,84 @@
+"""Structured Streaming: incremental index ingest and windowed event aggs.
+
+Both streams run with trigger(availableNow) so tests are deterministic:
+drain everything currently on disk, then compare to the batch answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.config import IndexLayout
+from neural_search_spark.corpus import corpus_df, queries_df
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.query.bm25_wand import bm25_topk_wand
+from neural_search_spark.streaming.ingest import (
+    run_windowed_events_to_memory,
+    stream_corpus,
+    stream_index_corpus,
+    windowed_event_counts,
+)
+
+LAYOUT = IndexLayout(docs_per_shard=64, block_size=16)
+
+
+def _topk_by_url(spark, idx):
+    res = bm25_topk_wand(idx, queries_df(spark), positive_only=False)
+    with_url = res.join(idx.docmap.select("doc_id", "url"), "doc_id")
+    out: dict = {}
+    for r in with_url.collect():
+        out.setdefault(r["query_id"], set()).add((r["url"], round(r["score"], 9)))
+    return out
+
+
+def test_streaming_ingest_matches_batch_build(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    # 8 files -> with maxFilesPerTrigger=3 the stream commits 3 micro-batches
+    corpus_df(spark, n_docs=150, seed=42).repartition(8).write.parquet(corpus_path)
+
+    index_dir = str(tmp_path / "index")
+    q = stream_index_corpus(
+        stream_corpus(spark, corpus_path, max_files_per_trigger=3),
+        corpus_path,
+        index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        layout=LAYOUT,
+        n_buckets=8,
+    )
+    q.awaitTermination(300)
+
+    streamed = load_index(spark, index_dir)
+    fresh = build_index(
+        spark.read.parquet(corpus_path),
+        str(tmp_path / "fresh"),
+        layout=LAYOUT,
+        n_buckets=8,
+    )
+    assert streamed.stats.n_docs == 150 == fresh.stats.n_docs
+    assert streamed.stats.avgdl == pytest.approx(fresh.stats.avgdl, rel=1e-12)
+    assert streamed.stats.average_idf == pytest.approx(fresh.stats.average_idf, rel=1e-12)
+    assert _topk_by_url(spark, streamed) == _topk_by_url(spark, fresh)
+
+
+def test_windowed_events_stream_matches_batch(spark, tmp_path):
+    # the file-stream source needs a directory of files, not a single file
+    events_path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(events_path)
+    q = run_windowed_events_to_memory(
+        spark, events_path, str(tmp_path / "ckpt"), table_name="we_test"
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM we_test").collect()
+    }
+    batch = windowed_event_counts(spark.read.parquet(events_path))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 10
