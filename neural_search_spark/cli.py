@@ -1,0 +1,213 @@
+"""spark-submit entry points (the north-rule deployment surface).
+
+Usage (the package zip goes out with --py-files):
+
+    zip -r nss.zip neural_search_spark
+    spark-submit --master <cluster> --py-files nss.zip -m neural_search_spark.cli ...
+
+or, since ``-m`` needs the file on the driver, the equivalent thin launcher:
+
+    spark-submit --py-files nss.zip cli.py build --input <corpus> --output <index dir>
+    spark-submit --py-files nss.zip cli.py add     --input <corpus> --new <batch> --output <dir>
+    spark-submit --py-files nss.zip cli.py remove  --input <corpus> --output <dir> --urls u1,u2
+    spark-submit --py-files nss.zip cli.py query   --index <dir> --query "terms..." --top-k 10
+    spark-submit --py-files nss.zip cli.py batch-query --index <dir> --queries <parquet> --out <parquet>
+    spark-submit --py-files nss.zip cli.py stream-ingest --input <dir> --output <dir> --checkpoint <dir>
+
+Replaces the reference's FastAPI/Celery surface (SURVEY.md §3): documents in
+= ``build``/``add``/``stream-ingest``; search = ``query``/``batch-query``;
+job progress = the _metrics lineage table + checkpoint manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _layout(args):
+    from .config import DEFAULT_LAYOUT, IndexLayout
+
+    return IndexLayout(
+        docs_per_shard=args.docs_per_shard or DEFAULT_LAYOUT.docs_per_shard,
+        block_size=args.block_size or DEFAULT_LAYOUT.block_size,
+    )
+
+
+def cmd_build(args) -> int:
+    from .index.build import build_index
+
+    spark = _spark("nss-build")
+    corpus = spark.read.parquet(args.input)
+    idx = build_index(
+        corpus,
+        args.output,
+        layout=_layout(args),
+        n_buckets=args.buckets,
+        waves=args.waves,
+    )
+    print(
+        json.dumps(
+            {
+                "n_docs": idx.stats.n_docs,
+                "avgdl": idx.stats.avgdl,
+                "terms": idx.terms.count(),
+                "posting_blocks": idx.postings.count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_add(args) -> int:
+    from .index.maintenance import add_documents
+
+    spark = _spark("nss-add")
+    idx = add_documents(
+        spark.read.parquet(args.input), args.output, spark.read.parquet(args.new)
+    )
+    print(json.dumps({"n_docs": idx.stats.n_docs}))
+    return 0
+
+
+def cmd_remove(args) -> int:
+    from .index.maintenance import remove_documents
+
+    spark = _spark("nss-remove")
+    idx = remove_documents(
+        spark.read.parquet(args.input), args.output, args.urls.split(",")
+    )
+    print(json.dumps({"n_docs": idx.stats.n_docs}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .index.build import load_index
+    from .query.bm25_wand import bm25_topk_wand
+
+    spark = _spark("nss-query")
+    idx = load_index(spark, args.index)
+    q = spark.createDataFrame(
+        [(0, args.query, args.top_k)], "query_id int, query_text string, top_k int"
+    )
+    res = bm25_topk_wand(idx, q, positive_only=not args.match_all)
+    rows = (
+        res.join(idx.docmap.select("doc_id", "url"), "doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps({"rank": r["rank"], "url": r["url"], "score": r["score"]}))
+    return 0
+
+
+def cmd_batch_query(args) -> int:
+    """Bulk mode: queries parquet (query_id, query_text, top_k) joined against
+    the index via the one-shuffle DataFrame plan (reference Q10 done right)."""
+    from .index.build import load_index
+    from .index.maintenance import decode_shard_postings
+    from .query.bm25_dataframe import bm25_topk
+    from .index.stats import CorpusStats
+
+    spark = _spark("nss-batch-query")
+    idx = load_index(spark, args.index)
+    shards = [r["shard"] for r in idx.postings.select("shard").distinct().collect()]
+    doc_terms = decode_shard_postings(idx, shards).join(
+        idx.docmap.select("doc_id", "doc_len"), "doc_id"
+    )
+    res = bm25_topk(
+        doc_terms,
+        idx.terms,
+        spark.read.parquet(args.queries),
+        stats=idx.stats,
+        positive_only=not args.match_all,
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"results": spark.read.parquet(args.out).count()}))
+    return 0
+
+
+def cmd_stream_ingest(args) -> int:
+    from .streaming.ingest import stream_corpus, stream_index_corpus
+
+    spark = _spark("nss-stream-ingest")
+    q = stream_index_corpus(
+        stream_corpus(spark, args.input, args.max_files),
+        args.input,
+        args.output,
+        args.checkpoint,
+        layout=_layout(args),
+        n_buckets=args.buckets,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    print(json.dumps({"status": "drained"}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="neural-search-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--docs-per-shard", type=int, default=None)
+        sp.add_argument("--block-size", type=int, default=None)
+        sp.add_argument("--buckets", type=int, default=64)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--waves", type=int, default=1)
+    common(b)
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("add")
+    a.add_argument("--input", required=True)
+    a.add_argument("--new", required=True)
+    a.add_argument("--output", required=True)
+    common(a)
+    a.set_defaults(fn=cmd_add)
+
+    r = sub.add_parser("remove")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--urls", required=True)
+    common(r)
+    r.set_defaults(fn=cmd_remove)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--match-all", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    bq = sub.add_parser("batch-query")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--queries", required=True)
+    bq.add_argument("--out", required=True)
+    bq.add_argument("--match-all", action="store_true")
+    bq.set_defaults(fn=cmd_batch_query)
+
+    s = sub.add_parser("stream-ingest")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files", type=int, default=4)
+    s.add_argument("--continuous", action="store_true")
+    common(s)
+    s.set_defaults(fn=cmd_stream_ingest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
