@@ -385,6 +385,41 @@ def q_media_decode(spark, sf_dir):
     return MM.decode_media(media, decode_stub="fake")
 
 
+# --- events (streaming-shaped agg, batch-verified) ---------------------------
+
+
+def q_events_windowed(spark, sf_dir):
+    """The windowed_event_counts aggregation (streaming/ingest.py) run in
+    batch mode with exact distinct-user counts (the streaming variant uses
+    approx_count_distinct for bounded state at scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            # string timestamps: engines serialize/sort datetime types
+            # differently, strings hash identically everywhere
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            "sum_value",
+            F.col("n_users").cast("long"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- registries --------------------------------------------------------------
 
 
@@ -403,6 +438,7 @@ def pipeline_queries() -> dict:
         "text_fingerprints": q_text_fingerprints,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
+        "events_windowed": q_events_windowed,
     }
 
 
@@ -419,6 +455,7 @@ def pipeline_oracles() -> dict:
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "media_stats": SQL_MEDIA_STATS,
+        "events_windowed": SQL_EVENTS_WINDOWED,
         # ann_topk_lsh, media_decode: intentionally no oracle (approximate /
         # stubbed) — driver records the weaker rows-only check.
     }

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the executed plan, not just hoped for.
+
+Checked properties:
+  * filter + projection pushdown reach the parquet scan (PushedFilters /
+    ReadSchema) — a scan reading all columns for a 2-column projection
+    would multiply IO by the corpus width at scale;
+  * the query-terms side of the BM25 scoring join is broadcast (no shuffle
+    of the posting-side billions of rows against a handful of terms);
+  * the batch top-k compiles to a window cut, and the single-query path
+    avoids a full global sort;
+  * WholeStageCodegen spans cover the scoring expressions (JVM-side, no
+    Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def stored_corpus(spark, corpus_small, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "corpus")
+    corpus_small.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_and_column_pushdown(stored_corpus):
+    df = stored_corpus.where(F.col("lang") == "en").select("url", "lang")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+    # projection pruning: the fat columns never leave the scan
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+    assert "html" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_bm25_join_broadcasts_query_terms(spark, stored_corpus):
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25_dataframe import bm25_scores
+
+    idx = build_logical_index(assign_doc_ids(stored_corpus))
+    queries = spark.createDataFrame(
+        [(0, "w0001 w0002", 10)], "query_id int, query_text string, top_k int"
+    )
+    per_doc = bm25_scores(idx.doc_terms, idx.terms, queries, stats=idx.stats)
+    plan = _plan(per_doc)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the big doc_terms side must NOT be sort-merge joined against queries
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_window_cut_not_global_sort(spark, stored_corpus):
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+
+    idx = build_logical_index(assign_doc_ids(stored_corpus))
+    queries = spark.createDataFrame(
+        [(0, "w0001", 5), (1, "w0002", 5)], "query_id int, query_text string, top_k int"
+    )
+    res = bm25_topk(idx.doc_terms, idx.terms, queries, stats=idx.stats)
+    plan = _plan(res)
+    # per-query rank via window (partitioned by query), then filter — the
+    # rank filter runs inside the window stage, not a global TakeOrdered
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_scoring_in_wholestage_codegen(spark, stored_corpus):
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25_dataframe import bm25_scores
+
+    idx = build_logical_index(assign_doc_ids(stored_corpus))
+    queries = spark.createDataFrame(
+        [(0, "w0001 w0002", 10)], "query_id int, query_text string, top_k int"
+    )
+    plan = _plan(bm25_scores(idx.doc_terms, idx.terms, queries, stats=idx.stats))
+    # codegen'd operators print with a "*(n)" stage marker
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_postings_scan_prunes_by_term(spark, corpus_small, tmp_path_factory):
+    """The WAND path's postings scan must push the term filter down."""
+    from neural_search_spark.config import IndexLayout
+    from neural_search_spark.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("plans") / "idx")
+    idx = build_index(
+        corpus_small, out, layout=IndexLayout(docs_per_shard=64, block_size=16),
+        n_buckets=8,
+    )
+    pf = idx.postings.where(F.col("term").isin(["w0001", "w0002"])).select(
+        "shard", "term", "deltas"
+    )
+    plan = _plan(pf)
+    assert "PushedFilters" in plan and "In(term" in plan
