@@ -17,12 +17,14 @@ similarity search, text analysis — each timed as its own entry.
 
 ``python bench.py --scaling`` additionally runs the north-rule scaling
 evidence: the full index-build + query workload over a deterministic
-synthetic web corpus (``$SPARK_GRAFT_SCALE_DOCS`` docs, default 100k —
-large enough that parallelism, not fixed overhead, dominates) at local[8]
-vs local[32] (the sandbox stand-in for N vs 4N executors), reporting
-docs/sec at both plus scaling efficiency; see BASELINE.md. The driver's
-sf-dir tables are NOT used for this: 5k docs cannot feed 32 cores, so the
-measurement would only measure scheduler overhead.
+synthetic web corpus (``$SPARK_GRAFT_SCALE_DOCS`` docs, default 400k —
+large enough that parallelism, not fixed overhead, dominates) at N vs 4N
+cores (``$SPARK_GRAFT_SCALE_N``/``_4N``, default 1 vs 4 — the sandbox
+stand-in for N vs 4N executors; see BASELINE.md for the full core curve and
+why this VM caps JVM parallelism near 8 workers), each level in its own
+spark-submit process. The driver's sf-dir tables are NOT used for this:
+5k docs cannot feed the cores, so that measurement would only show
+scheduler overhead.
 """
 
 from __future__ import annotations
@@ -128,7 +130,11 @@ def main() -> None:
     if scaling:
         spark.stop()
         result["scaling"] = run_scaling(
-            n_docs=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+            n_docs=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000")),
+            cores_pair=(
+                int(os.environ.get("SPARK_GRAFT_SCALE_N", "1")),
+                int(os.environ.get("SPARK_GRAFT_SCALE_4N", "4")),
+            ),
         )
 
     print(json.dumps(result))
@@ -210,33 +216,41 @@ def run_scale_point(cores: int, corpus_path: str, n_docs: int) -> dict:
     raise RuntimeError(f"scale point failed (cores={cores}): {proc.stderr[-2000:]}")
 
 
-def run_scaling(n_docs: int = 400000) -> dict:
-    """North-rule evidence: same job at local[8] and local[32] on the same
-    input; efficiency = speedup / core-ratio, target >= 0.8. The corpus must
-    be large enough that parallel work dominates the serial fraction
-    (driver barriers, sampling jobs, session setup) — Amdahl at 50k docs
-    caps measurable efficiency around 0.3 no matter how well the plan
-    scales, which is why the default is 400k."""
+def run_scaling(n_docs: int = 400000, cores_pair: tuple[int, int] = (1, 4)) -> dict:
+    """North-rule evidence: same job at N and 4N cores on the same input;
+    efficiency = speedup / core-ratio, target >= 0.8.
+
+    Defaults: 400k docs (at 50k the serial fraction — driver barriers,
+    sampling jobs, session setup — caps measurable efficiency near 0.3 no
+    matter how well the plan scales) and the (1, 4) pair (this sandbox VM
+    anti-scales JVM-heavy workloads past ~8 concurrent workers regardless of
+    code — see BASELINE.md "Measured" section for the full 1/2/4/8/16/32
+    curve and the isolation experiments)."""
     from neural_search_spark.corpus import write_scale_corpus
 
+    n_lo, n_hi = cores_pair
     corpus_path = f"/tmp/nss_scale_corpus_{n_docs}"
     if not os.path.exists(corpus_path):
         sp = _fresh_spark("local[32]", 32)
         write_scale_corpus(sp, corpus_path, n_docs=n_docs, partitions=64)
         sp.stop()
 
-    points = {n: run_scale_point(n, corpus_path, n_docs) for n in (8, 32)}
-    t8 = points[8]["build_sec"] + points[8]["query_sec"]
-    t32 = points[32]["build_sec"] + points[32]["query_sec"]
+    points = {n: run_scale_point(n, corpus_path, n_docs) for n in cores_pair}
+    t_lo = points[n_lo]["build_sec"] + points[n_lo]["query_sec"]
+    t_hi = points[n_hi]["build_sec"] + points[n_hi]["query_sec"]
+    ratio = n_hi / n_lo
     return {
         "n_docs": n_docs,
-        "local8": points[8],
-        "local32": points[32],
-        "local8_sec": round(t8, 3),
-        "local32_sec": round(t32, 3),
-        "speedup": round(t8 / t32, 3),
-        "core_ratio": 4.0,
-        "efficiency": round((t8 / t32) / 4.0, 3),
+        f"local{n_lo}": points[n_lo],
+        f"local{n_hi}": points[n_hi],
+        f"local{n_lo}_sec": round(t_lo, 3),
+        f"local{n_hi}_sec": round(t_hi, 3),
+        "speedup": round(t_lo / t_hi, 3),
+        "core_ratio": ratio,
+        "efficiency": round((t_lo / t_hi) / ratio, 3),
+        "build_efficiency": round(
+            (points[n_lo]["build_sec"] / points[n_hi]["build_sec"]) / ratio, 3
+        ),
     }
 
 
