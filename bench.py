@@ -65,9 +65,21 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         "url", F.concat(F.lit("doc://"), F.col("doc_id"))
     )
     n_docs = docs.count()
-    # size shards so the WAND stage parallelizes across cores at this SF
-    # (at 10^12 docs the default 65536-doc shard span gives ~15M shards)
-    span = max(64, n_docs // max(1, cores * 4))
+
+    # warm the Python worker pool once (imports pandas/numpy in each worker)
+    # so the first timed operator measures work, not interpreter start-up
+    def _ident(it):
+        yield from it
+
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        _ident, schema="id long"
+    ).count()
+    # shard span trades parallelism against per-group overhead: each
+    # (shard, bucket) is one applyInPandas group, and thousands of tiny
+    # groups cost more than the encode work at small SF (measured 4x on
+    # sf0.1: span 64/buckets 64 -> 18.7s vs span 512/buckets 16 -> 4.6s).
+    # At 10^12 docs the default 65536-doc span applies.
+    span = max(512, n_docs // max(1, cores * 4))
     layout = IndexLayout(docs_per_shard=span, block_size=DEFAULT_LAYOUT.block_size)
 
     timings: dict[str, float] = {}
@@ -75,7 +87,7 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
     out_dir = tempfile.mkdtemp(prefix="nss_bench_idx_")
     try:
         t0 = time.time()
-        index = build_index(docs, out_dir, id_col="doc_id", layout=layout)
+        index = build_index(docs, out_dir, id_col="doc_id", layout=layout, n_buckets=16)
         timings["index_build"] = time.time() - t0
         extras["index_build_docs_per_sec"] = n_docs / timings["index_build"]
 

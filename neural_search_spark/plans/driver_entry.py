@@ -263,6 +263,166 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_POINT_LOOKUP = "SELECT doc_id, text, lang FROM documents WHERE doc_id = 7"
 
 
+# --- fusion entries (reference Q5-Q7) ----------------------------------------
+# dense side: cosine of embeddings vs query vectors (vec_id < 5), top 20 per
+# query; sparse side: match-mode BM25 per-doc scores, top 20. Both sides are
+# rounded before fusion so the fused arithmetic is bit-identical across
+# engines (same rounded inputs, same expression tree).
+
+_FUSE_CUT = 20
+
+
+def _dense_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_col(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _FUSE_CUT)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _sparse_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_ranked(spark, sf_dir, positive_only=False)
+        .where(F.col("rank") <= _FUSE_CUT)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fusion import hybrid_fuse
+
+    fused = hybrid_fuse(
+        _dense_scored(spark, sf_dir).select("query_id", "doc_id", "score"),
+        _sparse_scored(spark, sf_dir).select("query_id", "doc_id", "score"),
+        alpha=0.5,
+        top_k=10,
+    )
+    return fused.select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fusion import rrf_fuse
+
+    rankings = (
+        _dense_scored(spark, sf_dir)
+        .select("query_id", F.lit(0).alias("ranking_id"), "doc_id", "rank")
+        .unionByName(
+            _sparse_scored(spark, sf_dir).select(
+                "query_id", F.lit(1).alias("ranking_id"), "doc_id", "rank"
+            )
+        )
+    )
+    fused = rrf_fuse(rankings, k=60, top_k=10)
+    return fused.select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _fusion_ctes() -> str:
+    from .pipeline_entry import _cos_sql
+
+    return f"""
+sp AS (SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {_FUSE_CUT}),
+eq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+dn0 AS (
+  SELECT eq.query_id, e.vec_id AS doc_id,
+         round({_cos_sql('e.embedding', 'eq.qv')}, 6) AS score
+  FROM embeddings e CROSS JOIN eq
+),
+dn AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM dn0
+  ) WHERE rank <= {_FUSE_CUT}
+)
+"""
+
+
+SQL_HYBRID_FUSION = (
+    _bm25_sql("SELECT 1", positive_only=False).rsplit("SELECT 1", 1)[0]
+    + ","
+    + _fusion_ctes()
+    + """,
+dmm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS dn_norm
+  FROM dn
+),
+smm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS sp_norm
+  FROM sp
+),
+fused AS (
+  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         coalesce(d.doc_id, s.doc_id) AS doc_id,
+         0.5 * coalesce(d.dn_norm, 0.0) + 0.5 * coalesce(s.sp_norm, 0.0) AS score
+  FROM dmm d FULL OUTER JOIN smm s
+    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+),
+cut AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score FROM cut WHERE rank <= 10
+"""
+)
+
+
+SQL_RRF_FUSION = (
+    _bm25_sql("SELECT 1", positive_only=False).rsplit("SELECT 1", 1)[0]
+    + ","
+    + _fusion_ctes()
+    + """,
+unioned AS (
+  SELECT query_id, 0 AS ranking_id, doc_id, rank FROM dn
+  UNION ALL
+  SELECT query_id, 1 AS ranking_id, doc_id, rank FROM sp
+),
+rrf AS (
+  SELECT query_id, doc_id, sum(1.0 / (60.0 + rank)) AS score
+  FROM unioned GROUP BY query_id, doc_id
+),
+cut AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rrf
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score FROM cut WHERE rank <= 10
+"""
+)
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -273,6 +433,8 @@ def base_queries() -> dict:
         "doc_lengths": q_doc_lengths,
         "filter_metadata": q_filter_metadata,
         "point_lookup": q_point_lookup,
+        "hybrid_fusion": q_hybrid_fusion,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -286,4 +448,6 @@ def base_oracles() -> dict:
         "doc_lengths": SQL_DOC_LENGTHS,
         "filter_metadata": SQL_FILTER_METADATA,
         "point_lookup": SQL_POINT_LOOKUP,
+        "hybrid_fusion": SQL_HYBRID_FUSION,
+        "rrf_fusion": SQL_RRF_FUSION,
     }
