@@ -412,6 +412,50 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based session windows per user (30-minute gap) via the built-in
+    ``session_window`` — the batch analog of streaming/stateful.py's
+    applyInPandasWithState operator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.col("n_events").cast("long"),
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 SQL_EVENTS_WINDOWED = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
@@ -439,6 +483,7 @@ def pipeline_queries() -> dict:
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -456,6 +501,7 @@ def pipeline_oracles() -> dict:
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "media_stats": SQL_MEDIA_STATS,
         "events_windowed": SQL_EVENTS_WINDOWED,
+        "events_sessions": SQL_EVENTS_SESSIONS,
         # ann_topk_lsh, media_decode: intentionally no oracle (approximate /
         # stubbed) — driver records the weaker rows-only check.
     }

@@ -82,3 +82,57 @@ def test_windowed_events_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 10
+
+
+def test_stateful_sessionize_single_batch_matches_session_window(spark, tmp_path):
+    """applyInPandasWithState sessionization: drained in one micro-batch it
+    must produce exactly the CLOSED sessions; the built-in session_window on
+    the same data is the oracle (open sessions — each user's last — stay in
+    state, so they are the expected difference)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.streaming.ingest import EVENTS_SCHEMA
+    from neural_search_spark.streaming.stateful import sessionize_stream
+
+    events_path = str(tmp_path / "events")
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch.repartition(2).write.parquet(events_path)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "100")  # everything in one batch
+        .parquet(events_path)
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", idle_flush=False)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+
+    oracle = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "sv")
+    )
+    want_all = {
+        (r["user_id"], r["session_start"]): (r["n"], round(r["sv"], 6))
+        for r in oracle.collect()
+    }
+    # last session per user stays open in state
+    last_start = {}
+    for (u, s) in want_all:
+        if u not in last_start or s > last_start[u]:
+            last_start[u] = s
+    want_closed = {k: v for k, v in want_all.items() if k[1] != last_start[k[0]]}
+
+    assert got == want_closed
+    assert len(want_all) > len(want_closed) > 0
