@@ -423,6 +423,96 @@ SELECT query_id, rank, doc_id, round(score, 6) AS score FROM cut WHERE rank <= 1
 )
 
 
+# --- IR evaluation entry (reference A8: benchmarks/search_accuracy.py) -------
+# judgments derived deterministically from the corpus: relevance(query, doc) =
+# number of DISTINCT query terms the doc contains; results = match-mode BM25
+# top-k. The metrics pipeline (MRR, Recall@10, NDCG@10) then runs as
+# DataFrame aggs and is mirrored in SQL.
+
+
+def _judgments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.tokenize import doc_terms as doc_terms_fn
+
+    dt = doc_terms_fn(_docs(spark, sf_dir), id_col="doc_id").select("doc_id", "term")
+    # identical tokenization to the oracle's q VALUES (driver-side tokenize_py)
+    q_rows = sorted(
+        {(qid, t) for qid, text, _k in ENTRY_QUERIES for t in tokenize_py(text)}
+    )
+    qt = spark.createDataFrame(q_rows, "query_id int, term string")
+    return (
+        qt.join(dt, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("relevance"))
+    )
+
+
+def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.metrics import evaluate
+
+    results = q_bm25_topk_all(spark, sf_dir).select("query_id", "rank", "doc_id")
+    ev = evaluate(results, _judgments(spark, sf_dir), k=10)
+    return ev.select(
+        F.col("query_id").cast("long"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("recall", 6).alias("recall"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
+SQL_SEARCH_EVAL = (
+    _bm25_sql("SELECT 1", positive_only=False).rsplit("SELECT 1", 1)[0]
+    + """,
+res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= top_k),
+qterms AS (SELECT DISTINCT query_id, term FROM q),
+judg AS (
+  SELECT qt.query_id, tf.doc_id, count(*) * 1.0 AS relevance
+  FROM qterms qt JOIN tf ON tf.term = qt.term
+  GROUP BY qt.query_id, tf.doc_id
+),
+allq AS (SELECT DISTINCT query_id FROM judg),
+firsth AS (
+  SELECT r.query_id, min(r.rank) AS first_rank
+  FROM res r JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  WHERE j.relevance > 0
+  GROUP BY r.query_id
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM judg WHERE relevance > 0 GROUP BY query_id),
+nhit AS (
+  SELECT r.query_id, count(*) AS n_hit
+  FROM res r JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  WHERE r.rank <= 10 AND j.relevance > 0
+  GROUP BY r.query_id
+),
+dcg AS (
+  SELECT r.query_id, sum(coalesce(j.relevance, 0.0) / log2(r.rank + 1.0)) AS dcg
+  FROM res r LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+  WHERE r.rank <= 10
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, sum(relevance / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, relevance,
+           row_number() OVER (PARTITION BY query_id ORDER BY relevance DESC, doc_id ASC) AS irank
+    FROM judg
+  ) WHERE irank <= 10
+  GROUP BY query_id
+)
+SELECT a.query_id,
+       round(coalesce(1.0 / f.first_rank, 0.0), 6) AS mrr,
+       round(coalesce(h.n_hit, 0) * 1.0 / nr.n_rel, 6) AS recall,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                  THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM allq a
+LEFT JOIN firsth f ON f.query_id = a.query_id
+LEFT JOIN nrel nr ON nr.query_id = a.query_id
+LEFT JOIN nhit h ON h.query_id = a.query_id
+LEFT JOIN dcg d ON d.query_id = a.query_id
+LEFT JOIN ideal i ON i.query_id = a.query_id
+"""
+)
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -435,6 +525,7 @@ def base_queries() -> dict:
         "point_lookup": q_point_lookup,
         "hybrid_fusion": q_hybrid_fusion,
         "rrf_fusion": q_rrf_fusion,
+        "search_eval": q_search_eval,
     }
 
 
@@ -450,4 +541,5 @@ def base_oracles() -> dict:
         "point_lookup": SQL_POINT_LOOKUP,
         "hybrid_fusion": SQL_HYBRID_FUSION,
         "rrf_fusion": SQL_RRF_FUSION,
+        "search_eval": SQL_SEARCH_EVAL,
     }

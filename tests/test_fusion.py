@@ -131,3 +131,32 @@ def test_rrf_topk_cut(spark):
     rows = [(0, 0, d, d) for d in range(1, 8)]
     df = spark.createDataFrame(rows, "query_id int, ranking_id int, doc_id int, rank int")
     assert rrf_fuse(df, top_k=3).count() == 3
+
+
+def test_ir_metrics_hand_computed(spark):
+    """MRR / Recall@k / NDCG@k against hand-computed values."""
+    import math
+
+    import pytest
+
+    from neural_search_spark.operators.metrics import evaluate
+
+    results = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12), (1, 1, 20), (1, 2, 21)],
+        "query_id int, rank int, doc_id int",
+    )
+    judgments = spark.createDataFrame(
+        # q0: relevant {11 (rel 2), 12 (rel 1), 13 (rel 3, not retrieved)}
+        # q1: relevant {21 (rel 1)}
+        [(0, 11, 2.0), (0, 12, 1.0), (0, 13, 3.0), (1, 21, 1.0)],
+        "query_id int, doc_id int, relevance double",
+    )
+    got = {r["query_id"]: r for r in evaluate(results, judgments, k=3).collect()}
+
+    assert got[0]["mrr"] == pytest.approx(1 / 2)  # first relevant at rank 2
+    assert got[1]["mrr"] == pytest.approx(1 / 2)
+    assert got[0]["recall"] == pytest.approx(2 / 3)
+    assert got[1]["recall"] == pytest.approx(1.0)
+    dcg0 = 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    idcg0 = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert got[0]["ndcg"] == pytest.approx(dcg0 / idcg0)
