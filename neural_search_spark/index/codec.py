@@ -83,6 +83,58 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return out
 
 
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Fixed-width little-endian bit-packing (the PFor-style dense scheme)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0 or width == 0:
+        return b""
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, width: int, count: int) -> np.ndarray:
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little")
+    bits = bits[: count * width].reshape(count, width).astype(np.uint64)
+    return (bits << np.arange(width, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+# int-sequence envelope: 1 scheme byte, then payload.
+#   scheme 0 = LEB128 varint (sparse-friendly: rare big gaps stay cheap)
+#   scheme 1 = fixed-width bit-packing, width in the second byte (dense-
+#              friendly: 128 small deltas at 4 bits beat 128 varint bytes)
+# The encoder picks whichever is smaller for the block — the per-block
+# scheme choice is the practical core of PForDelta-family codecs.
+_SCHEME_VARINT = 0
+_SCHEME_PACKED = 1
+
+
+def encode_ints(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.uint64)
+    var = varint_encode(v)
+    if v.size == 0:
+        return bytes([_SCHEME_VARINT]) + var
+    width = max(1, int(v.max()).bit_length())
+    if width <= 56:
+        packed = pack_bits(v, width)
+        if 1 + len(packed) < len(var):
+            return bytes([_SCHEME_PACKED, width]) + packed
+    return bytes([_SCHEME_VARINT]) + var
+
+
+def decode_ints(buf: bytes, count: int | None = None) -> np.ndarray:
+    buf = bytes(buf)
+    scheme = buf[0]
+    if scheme == _SCHEME_VARINT:
+        return varint_decode(buf[1:], count)
+    width = buf[1]
+    assert count is not None, "packed scheme requires the element count"
+    return unpack_bits(buf[2:], width, count)
+
+
 def encode_doc_ids(doc_ids: np.ndarray, base: int) -> bytes:
     """Delta-encode a sorted doc_id array relative to ``base``."""
     d = np.asarray(doc_ids, dtype=np.int64)
@@ -90,11 +142,11 @@ def encode_doc_ids(doc_ids: np.ndarray, base: int) -> bytes:
     if d.size:
         deltas[0] = np.uint64(d[0] - base)
         deltas[1:] = np.diff(d).astype(np.uint64)
-    return varint_encode(deltas)
+    return encode_ints(deltas)
 
 
 def decode_doc_ids(buf: bytes, base: int, count: int | None = None) -> np.ndarray:
-    deltas = varint_decode(buf, count)
+    deltas = decode_ints(buf, count)
     return (np.cumsum(deltas.astype(np.int64)) + base).astype(np.int64)
 
 
@@ -152,7 +204,7 @@ def encode_posting_blocks(
                 "max_tf": int(tfs[sl].max()),
                 "min_dl": int(doc_lens[sl].min()),
                 "deltas": encode_doc_ids(ids, shard_base if start == 0 else int(doc_ids[start - 1])),
-                "tfs": varint_encode(tfs[sl].astype(np.uint64)),
+                "tfs": encode_ints(tfs[sl].astype(np.uint64)),
             }
         )
     return out
@@ -166,7 +218,7 @@ def decode_posting_blocks(blocks: list[dict], shard_base: int) -> tuple[np.ndarr
     for blk in sorted(blocks, key=lambda x: x["block_id"]):
         ids = decode_doc_ids(blk["deltas"], prev_last, blk["n_docs"])
         all_ids.append(ids)
-        all_tfs.append(varint_decode(blk["tfs"], blk["n_docs"]).astype(np.int64))
+        all_tfs.append(decode_ints(blk["tfs"], blk["n_docs"]).astype(np.int64))
         prev_last = int(ids[-1])
     if not all_ids:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)

@@ -45,7 +45,7 @@ from .build import (
     build_index,
     load_index,
 )
-from .codec import varint_decode
+from .codec import decode_ints
 from .stats import floored_term_stats
 
 
@@ -251,10 +251,10 @@ def _decode_kernel(docs_per_shard: int):
             g = g.sort_values("block_id")
             prev = base
             for _, blk in g.iterrows():
-                deltas = varint_decode(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
+                deltas = decode_ints(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
                 ids = np.cumsum(deltas) + prev
                 prev = int(ids[-1])
-                tfs = varint_decode(bytes(blk["tfs"]), blk["n_docs"]).astype(np.int64)
+                tfs = decode_ints(bytes(blk["tfs"]), blk["n_docs"]).astype(np.int64)
                 out_d.extend(ids.tolist())
                 out_t.extend([term] * len(ids))
                 out_f.extend(tfs.tolist())

@@ -80,7 +80,7 @@ def _query_specs(queries_rows, terms_df, positive_only=True) -> tuple[list[dict]
 def _shard_kernel(
     specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS, positive_only=True
 ):
-    from ..index.codec import block_score_bound, varint_decode
+    from ..index.codec import block_score_bound, decode_ints
 
     def fn(postings_pdfs, docmap_pdfs) -> pd.DataFrame:
         postings = pd.concat(list(postings_pdfs), ignore_index=True) if postings_pdfs is not None else None
@@ -120,11 +120,11 @@ def _shard_kernel(
                 avgdl,
             )
             for _, blk in g.iterrows():
-                deltas = varint_decode(blk["deltas"], blk["n_docs"]).astype(np.int64)
+                deltas = decode_ints(blk["deltas"], blk["n_docs"]).astype(np.int64)
                 ids = np.cumsum(deltas) + prev
                 prev = int(ids[-1])
                 ids_parts.append(ids)
-                tf_parts.append(varint_decode(blk["tfs"], blk["n_docs"]).astype(np.float64))
+                tf_parts.append(decode_ints(blk["tfs"], blk["n_docs"]).astype(np.float64))
             by_term[term] = {
                 "ids": np.concatenate(ids_parts),
                 "tfs": np.concatenate(tf_parts),

@@ -80,7 +80,41 @@ def test_posting_block_roundtrip_and_bounds():
 
 
 def test_compression_is_compact():
-    # dense consecutive ids: 1 byte per delta
+    # dense consecutive ids: all deltas are 1 -> bit-packed at 1 bit/delta
     ids = np.arange(50000, 51000, dtype=np.int64)
     buf = encode_doc_ids(ids, 50000 - 1)
-    assert len(buf) == 1000
+    assert len(buf) == 2 + 1000 // 8  # scheme byte + width byte + packed bits
+    assert (decode_doc_ids(buf, 50000 - 1, 1000) == ids).all()
+
+
+def test_bitpack_roundtrip():
+    from neural_search_spark.index.codec import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(3)
+    for width in (1, 4, 7, 13, 32, 56):
+        vals = rng.integers(0, 2**width, size=257, dtype=np.uint64)
+        assert (unpack_bits(pack_bits(vals, width), width, 257) == vals).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=400))
+@settings(max_examples=50, deadline=None)
+def test_encode_ints_roundtrip_property(vals):
+    from neural_search_spark.index.codec import decode_ints, encode_ints
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert (decode_ints(encode_ints(arr), len(vals)) == arr).all()
+
+
+def test_encode_ints_picks_smaller_scheme():
+    from neural_search_spark.index.codec import decode_ints, encode_ints
+
+    # dense small deltas: packed (4 bits/val) beats varint (8 bits/val)
+    dense = np.full(128, 9, dtype=np.uint64)
+    b = encode_ints(dense)
+    assert b[0] == 1 and len(b) == 2 + 64  # scheme+width + 128*4 bits
+    assert (decode_ints(b, 128) == dense).all()
+    # one huge outlier blows up the fixed width -> varint wins
+    sparse = np.array([1, 2, 3, 2**50], dtype=np.uint64)
+    b2 = encode_ints(sparse)
+    assert b2[0] == 0
+    assert (decode_ints(b2, 4) == sparse).all()

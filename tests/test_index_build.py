@@ -47,7 +47,7 @@ def test_postings_roundtrip_vs_doc_terms(spark, built, corpus_small):
     import numpy as np
 
     from neural_search_spark.functions.tokenize import doc_terms
-    from neural_search_spark.index.codec import varint_decode
+    from neural_search_spark.index.codec import decode_ints
     from neural_search_spark.index.docmap import assign_doc_ids
 
     expected = {
@@ -62,10 +62,10 @@ def test_postings_roundtrip_vs_doc_terms(spark, built, corpus_small):
     for (shard, term), blocks in by_term_shard.items():
         prev = shard * LAYOUT.docs_per_shard
         for blk in sorted(blocks, key=lambda x: x["block_id"]):
-            deltas = varint_decode(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
+            deltas = decode_ints(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
             ids = np.cumsum(deltas) + prev
             prev = int(ids[-1])
-            tfs = varint_decode(bytes(blk["tfs"]), blk["n_docs"])
+            tfs = decode_ints(bytes(blk["tfs"]), blk["n_docs"])
             for d, t in zip(ids, tfs):
                 got[(int(d), term)] = int(t)
     assert got == expected
@@ -184,3 +184,31 @@ def test_wand_match_mode_equals_dataframe_path(spark, built, corpus_small):
     assert set(got) == set(want)
     for key, s in got.items():
         assert s == pytest.approx(want[key], rel=1e-9)
+
+
+def test_head_term_skew_defused_by_layout(spark, built):
+    """The head term (in >60% of docs) must be spread across every shard with
+    near-uniform posting counts — the stored-layout salting that keeps one
+    task from ever holding a stopword's full posting list at 10^12 docs."""
+    from pyspark.sql import functions as F
+
+    per_shard = {
+        r["shard"]: r["n"]
+        for r in built.postings.where(F.col("term") == "w0000")
+        .groupBy("shard")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert len(per_shard) == 4  # present in every shard
+    # proportional to shard population (the last shard is partial): the head
+    # term's density per shard must be near-uniform, i.e. no shard holds a
+    # disproportionate share of its postings
+    docs_per_shard = {
+        r["shard"]: r["n"]
+        for r in built.docmap.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    densities = [per_shard[s] / docs_per_shard[s] for s in per_shard]
+    assert max(densities) <= 1.0
+    assert min(densities) >= 0.5  # head term: in >60% of docs everywhere
+    total = sum(per_shard.values())
+    assert total == built.terms.where(F.col("term") == "w0000").collect()[0]["df"]
