@@ -77,11 +77,21 @@ def build_logical_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     params: BM25Params = DEFAULT_PARAMS,
+    persist: bool = False,
 ) -> BM25Index:
-    """Tokenize + global stats; returns unscored logical index DataFrames."""
+    """Tokenize + global stats; returns unscored logical index DataFrames.
+
+    ``persist=True`` caches the tokenized (doc_id, term, tf, doc_len) rows —
+    without it the N/avgdl agg, the term-stats agg, and every downstream
+    scoring query each re-tokenize the corpus. Use for interactive /
+    multi-query sessions on corpora that fit the cache; the physical index
+    (index/build.py) is the durable form at scale.
+    """
     from ..functions.tokenize import doc_terms as doc_terms_fn
 
     dt = doc_terms_fn(corpus, id_col=id_col, text_col=text_col)
+    if persist:
+        dt = dt.persist()
 
     # N and avgdl over ALL docs (including zero-token docs, which have no
     # doc_terms rows but count toward corpus_size/avgdl in the reference).

@@ -125,7 +125,7 @@ ranked AS (
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str, positive_only: bool = True) -> DataFrame:
-    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
+    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id", persist=True)
     per_doc = bm25_scores(
         idx.doc_terms, idx.terms, _queries_df(spark), stats=idx.stats,
         positive_only=positive_only,
