@@ -192,10 +192,11 @@ def run_scale_point(cores: int, corpus_path: str, n_docs: int) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     pyzip = os.path.join(tempfile.gettempdir(), "nss_bench_pkg.zip")
-    if not os.path.exists(pyzip):
-        subprocess.run(
-            ["zip", "-qr", pyzip, "neural_search_spark"], cwd=repo, check=True
-        )
+    # always rebuild: a cached zip from an older source tree silently mixes
+    # module versions between driver and executors
+    if os.path.exists(pyzip):
+        os.remove(pyzip)
+    subprocess.run(["zip", "-qr", pyzip, "neural_search_spark"], cwd=repo, check=True)
     job = os.path.join(tempfile.gettempdir(), "nss_scale_job.py")
     with open(job, "w") as f:
         f.write(_SCALE_JOB)
