@@ -78,7 +78,15 @@ def _query_specs(queries_rows, terms_df, positive_only=True) -> tuple[list[dict]
 
 
 def _shard_kernel(
-    specs, k1, b, avgdl, docs_per_shard, window_docs=_WINDOW_DOCS, positive_only=True
+    specs,
+    k1,
+    b,
+    avgdl,
+    docs_per_shard,
+    window_docs=_WINDOW_DOCS,
+    positive_only=True,
+    visited_acc=None,
+    total_acc=None,
 ):
     from ..index.codec import block_score_bound, decode_ints
 
@@ -167,11 +175,15 @@ def _shard_kernel(
             # window prunes — correct, just unpruned on degenerate corpora).
             theta = 0.0 if positive_only else -np.inf
             heap_scores = np.zeros(0, dtype=np.float64)
+            if total_acc is not None:
+                total_acc.add(len(order))
             for w in order:
                 # strict <: a window with U_w == θ may still hold a kth-place
                 # tie, and the deterministic tie-break needs to see it
                 if ub[w] < theta or (positive_only and ub[w] <= 0.0):
                     break  # remaining windows are provably below the kth score
+                if visited_acc is not None:
+                    visited_acc.add(1)
                 lo = base + w * window_docs
                 hi = lo + window_docs
                 wscore = np.zeros(window_docs, dtype=np.float64)
@@ -222,13 +234,24 @@ def _shard_kernel(
     return fn
 
 
-def bm25_topk_wand(index, queries: DataFrame, positive_only: bool = True) -> DataFrame:
+def bm25_topk_wand(
+    index,
+    queries: DataFrame,
+    positive_only: bool = True,
+    pruning_stats: dict | None = None,
+    window_docs: int = _WINDOW_DOCS,
+) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to full BM25 scoring.
 
     ``index`` is a ``PhysicalIndex`` (see index/build.py). ``positive_only``
     mirrors the reference's score>0 cut; False = match-mode ranking (every doc
     matching >=1 known query term is eligible), same as
     ``bm25_scores(..., positive_only=False)``.
+
+    ``pruning_stats``: pass a dict and, after an action runs on the result,
+    read ``pruning_stats["visited"].value`` / ``["total"].value`` — Spark
+    accumulators counting candidate windows actually scored vs considered
+    across all (query, shard) pairs. Observability for the BMW skip rate.
     """
     spark = queries.sparkSession
     q_rows = [r.asDict() for r in queries.collect()]
@@ -242,8 +265,23 @@ def bm25_topk_wand(index, queries: DataFrame, positive_only: bool = True) -> Dat
         "max_tf", "min_dl", "deltas", "tfs",
     )
     dm = index.docmap.select("shard", "doc_id", "doc_len")
+    visited_acc = total_acc = None
+    if pruning_stats is not None:
+        sc = spark.sparkContext
+        visited_acc = sc.accumulator(0)
+        total_acc = sc.accumulator(0)
+        pruning_stats["visited"] = visited_acc
+        pruning_stats["total"] = total_acc
     kernel = _shard_kernel(
-        specs, s.k1, s.b, s.avgdl, index.docs_per_shard, positive_only=positive_only
+        specs,
+        s.k1,
+        s.b,
+        s.avgdl,
+        index.docs_per_shard,
+        window_docs=window_docs,
+        positive_only=positive_only,
+        visited_acc=visited_acc,
+        total_acc=total_acc,
     )
     candidates = (
         pf.groupBy("shard")

@@ -212,3 +212,26 @@ def test_head_term_skew_defused_by_layout(spark, built):
     assert min(densities) >= 0.5  # head term: in >60% of docs everywhere
     total = sum(per_shard.values())
     assert total == built.terms.where(F.col("term") == "w0000").collect()[0]["df"]
+
+
+def test_wand_actually_prunes_windows(spark, built, oracle):
+    """With fine-grained windows and small k, the BMW bound must SKIP windows
+    (visited < considered) while staying rank-identical to the oracle."""
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+
+    q = spark.createDataFrame(
+        [(0, "w0005 w0010", 1), (1, "w1999", 1), (2, "w0001 w0002 w0003", 1)],
+        "query_id int, query_text string, top_k int",
+    )
+    stats: dict = {}
+    res = bm25_topk_wand(built, q, pruning_stats=stats, window_docs=8)
+    rows = sorted((r["query_id"], r["doc_id"], r["score"]) for r in res.collect())
+    visited, total = stats["visited"].value, stats["total"].value
+    assert 0 < visited < total, (visited, total)
+    # pruning must not change results: still rank-identical to the oracle
+    for qid, qtext in [(0, "w0005 w0010"), (1, "w1999"), (2, "w0001 w0002 w0003")]:
+        want = oracle_topk(oracle, qtext, top_k=1)
+        got = [(d, s) for (g, d, s) in rows if g == qid]
+        assert len(got) == len(want)
+        if want:
+            assert got[0][1] == pytest.approx(want[0][1], rel=1e-9)
