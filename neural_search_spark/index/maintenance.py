@@ -160,6 +160,16 @@ def add_documents(
     ).collect()[0]
     next_id, n_old = int(old["max_id"]) + 1, int(old["n"])
 
+    # idempotence: drop urls already committed to the index, so re-running
+    # the same batch after a mid-maintenance crash (or an at-least-once
+    # delivery duplicate) completes the remainder instead of double-applying
+    # docmap rows and df deltas. (The remaining non-atomic window — a crash
+    # between the docmap partition swap's delete and append — is what a real
+    # Iceberg snapshot commit closes; see _overwrite_docmap_shards.)
+    new_docs = new_docs.join(
+        idx.docmap.select(F.col("url").alias(url_col)), url_col, "left_anti"
+    )
+
     from pyspark.sql import Window
 
     w = Window.orderBy(url_col)

@@ -133,3 +133,28 @@ def test_decode_shard_postings_is_lossless(spark, tmp_path):
         for r in doc_terms(assign_doc_ids(corpus)).collect()
     }
     assert got == want
+
+
+def test_add_documents_is_idempotent(spark, tmp_path):
+    """Re-running the same batch (crash-recovery / at-least-once delivery)
+    must be a no-op: already-committed urls are dropped before any mutation,
+    so docmap rows and df deltas are never double-applied."""
+    full = corpus_df(spark, n_docs=120, seed=42)
+    urls = sorted(r["url"] for r in full.select("url").collect())
+    initial = full.where(F.col("url").isin(urls[:100]))
+    batch = full.where(F.col("url").isin(urls[100:]))
+
+    out = str(tmp_path / "idx")
+    build_index(initial, out, layout=LAYOUT, n_buckets=8)
+    once = add_documents(full, out, batch)
+    stats_once = (once.stats.n_docs, once.stats.avgdl, once.stats.average_idf)
+
+    twice = add_documents(full, out, batch)  # same batch again
+    assert (twice.stats.n_docs, twice.stats.avgdl, twice.stats.average_idf) == stats_once
+    assert twice.docmap.count() == 120
+    assert twice.docmap.select("url").distinct().count() == 120
+
+    fresh = build_index(full, str(tmp_path / "fresh"), layout=LAYOUT, n_buckets=8)
+    _stats_equal(twice, fresh)
+    q = queries_df(spark)
+    assert _topk_by_url(spark, twice, q) == _topk_by_url(spark, fresh, q)
