@@ -104,16 +104,27 @@ def minhash_signatures(
     Hash family i is "md5 of i#shingle", minimized lexicographically — a
     random permutation of the shingle space per i, reproducible anywhere md5
     exists (the DuckDB oracle uses the identical expression).
+
+    Shape: all n_hashes mins are computed as separate aggregates in ONE
+    groupBy(doc_id) pass (map-side partial mins, one shuffle of n_docs rows),
+    instead of exploding every shingle n_hashes-fold — at 10^12 docs that
+    explode would shuffle n_hashes x total-shingle volume.
     """
     sh = _shingles_df(corpus, k)
-    idx = sh.select(
+    hashed = sh.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"),
+        *[
+            F.md5(F.concat_ws("#", F.lit(str(i)), F.col("shingle"))).alias(f"hv{i}")
+            for i in range(n_hashes)
+        ],
     )
-    h = F.md5(F.concat_ws("#", F.col("i").cast("string"), F.col("shingle")))
-    return idx.select("doc_id", "i", h.alias("hv")).groupBy("doc_id", "i").agg(
-        F.min("hv").alias("h")
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"hv{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    # melt back to the (doc_id, i, h) long form the band/oracle logic uses
+    stack_expr = ", ".join(f"{i}, h{i}" for i in range(n_hashes))
+    return mins.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack_expr}) AS (i, h)"
     )
 
 
@@ -308,3 +319,72 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, component): component = min doc_id reachable via dup pairs.
+
+    Min-label propagation: each iteration every node takes the min of its own
+    and its neighbors' labels — converges in O(component diameter) rounds,
+    and near-dup clusters are shallow (a few hops), so a handful of
+    iterations suffices even at web scale. Each round is one join + one
+    groupBy on the edge list; lineage is truncated per round
+    (localCheckpoint) so plans stay flat. Deterministic: the representative
+    is always the min doc_id of the component.
+
+    (For adversarial long-chain graphs the classic large-star/small-star
+    alternation bounds rounds at O(log n); not needed for dedup clusters.)
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "a"), "a"
+        ).select(F.col("b").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    rows_per_band: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, component): near-dup cluster assignment for every doc that
+    participates in at least one LSH-verified duplicate pair. Keeping
+    ``min(doc_id)`` per component is the standard train-data dedup policy."""
+    pairs = minhash_lsh_pairs(corpus, threshold, n_hashes, rows_per_band, k)
+    return connected_components(pairs)

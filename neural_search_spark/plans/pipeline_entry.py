@@ -126,6 +126,41 @@ cand AS (
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the LSH-verified pairs;
+    oracle uses WITH RECURSIVE reachability over the same pairs."""
+    return DD.dedup_components(_docs(spark, sf_dir), threshold=0.3).select(
+        F.col("doc_id").cast("long"), F.col("component").cast("long")
+    )
+
+
+# the minhash pair CTE chain with the final select folded into a `pairs` CTE
+_MINHASH_PAIR_CTES = (
+    SQL_DEDUP_MINHASH.strip()[len("WITH") :].rsplit("SELECT", 1)[0]
+    + ",\npairs AS (SELECT"
+    + SQL_DEDUP_MINHASH.strip().rsplit("SELECT", 1)[1]
+    + ")"
+)
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+nodes AS (
+  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+"""
+
+
 def q_dedup_ngram(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3).select(
         F.col("doc_a").cast("long"),
@@ -472,6 +507,7 @@ def pipeline_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -492,6 +528,7 @@ def pipeline_oracles() -> dict:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,

@@ -81,12 +81,9 @@ def stream_index_corpus(
             build_index(new_docs, index_dir, layout=layout, n_buckets=n_buckets)
             return
         full = spark.read.parquet(corpus_path)
-        from ..index.build import load_index
-
-        idx = load_index(spark, index_dir)
-        seen = idx.docmap.select("url")
-        fresh = new_docs.join(seen, "url", "left_anti")
-        add_documents(full, index_dir, fresh)
+        # add_documents itself anti-joins already-indexed urls (idempotent
+        # under replays), so the batch goes in as-is
+        add_documents(full, index_dir, new_docs)
 
     writer = (
         corpus_stream.writeStream.foreachBatch(commit_batch)

@@ -262,3 +262,31 @@ def test_frame_sample_plan(spark, dup_corpus):
         got.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for doc_id, idxs in got.items():
         assert idxs == list(range(0, max(n_frames[doc_id] - 1, 0) + 1, 8))
+
+
+def test_connected_components_hand_built(spark):
+    """Chain, triangle, isolated pair: every node gets the min doc_id of its
+    component, regardless of edge direction or discovery order."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_components_groups_exact_dups(spark, dup_corpus):
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in DD.dedup_components(dup_corpus, threshold=0.5).collect()
+    }
+    # docs 0, 10, 11 (exact copies) and 12 (near-dup) form one cluster, rep 0
+    assert comp[0] == comp[10] == comp[11] == comp[12] == 0
+    # 2 and its near-dup 13 cluster with rep 2
+    assert comp[2] == comp[13] == 2
+    # unrelated docs are not members (no pair -> absent)
+    assert 1 not in comp and 3 not in comp
