@@ -206,3 +206,140 @@ def ann_lsh_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "vec_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + cluster-pruned search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse quantizer: spherical k-means on the corpus.
+
+    Init = the ``n_clusters`` lowest-id vectors (normalized) — deterministic,
+    no RNG. Each Lloyd iteration is one Spark pass: a mapInPandas assignment
+    against the broadcast centroid matrix, then a groupBy mean; the centroid
+    matrix itself (n_clusters x dim floats) lives on the driver — tiny at any
+    corpus scale. Returns a numpy array (n_clusters, dim), rows L2-normalized.
+    """
+    import numpy as np
+
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )
+    C = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    for _ in range(n_iters):
+        assigned = assign_ivf_clusters(embeddings, C, id_col, vec_col)
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.col("v").getItem(i))
+                        for i in range(C.shape[1])
+                    ]
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        newC = C.copy()
+        for r in sums:
+            m = np.array(r["s"], dtype=np.float64)
+            nrm = np.linalg.norm(m)
+            if nrm > 0:
+                newC[r["cluster"]] = m / nrm
+        C = newC
+    return C
+
+
+def assign_ivf_clusters(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v (array<double> normalized), cluster): nearest centroid by
+    cosine, Arrow-batched numpy argmax against the broadcast matrix."""
+    import numpy as np
+    import pandas as pd
+
+    C = centroids
+
+    def kernel(batches):
+        for pdf in batches:
+            M = np.stack(pdf["v"].to_numpy())
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cl = (M @ C.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "cluster": cl.astype("int32")}
+            )
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return base.mapInPandas(kernel, schema="vec_id long, v array<double>, cluster int")
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): IVF-pruned approximate cosine top-k.
+
+    Corpus vectors are bucketed by nearest coarse centroid (in a deployment
+    the (vec_id, cluster) column is precomputed and the table is clustered by
+    it, so a probe reads only its clusters' files); each query scores only the
+    ``n_probe`` nearest clusters' vectors. Recall/latency trade via
+    n_clusters x n_probe; exact within the probed set.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = assign_ivf_clusters(embeddings, centroids, id_col, vec_col)
+
+    spark = queries.sparkSession
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(centroids @ qv))[:n_probe]
+        for c in order:
+            probe_rows.append((r[query_id_col], int(c), qv.tolist()))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, qv array<double>"
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        "vec_id",
+        cosine_col(F.col("v"), F.col("qv")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "rank", "vec_id", "score")
+    )

@@ -276,6 +276,19 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    # approximate (IVF coarse-quantizer pruning) — rows-only in the driver
+    # gate; recall gate in pytest
+    return SIM.ann_ivf_topk(
+        _emb(spark, sf_dir),
+        _query_vecs(spark, sf_dir),
+        top_k=10,
+        n_clusters=16,
+        n_probe=4,
+        query_vec_col="qv",
+    )
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     # approximate — rows-only in the driver gate; recall gate in pytest
     return SIM.ann_lsh_topk(
@@ -511,6 +524,7 @@ def pipeline_queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "text_token_profile": q_text_token_profile,
         "text_quality": q_text_quality,

@@ -290,3 +290,28 @@ def test_dedup_components_groups_exact_dups(spark, dup_corpus):
     assert comp[2] == comp[13] == 2
     # unrelated docs are not members (no pair -> absent)
     assert 1 not in comp and 3 not in comp
+
+
+def test_ann_ivf_recall_beats_sampling(spark, emb, emb_queries):
+    n_clusters, n_probe = 16, 4
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.cosine_topk(emb, emb_queries, top_k=10).collect()
+    }
+    ann = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.ann_ivf_topk(
+            emb, emb_queries, top_k=10, n_clusters=n_clusters, n_probe=n_probe
+        ).collect()
+    }
+    recall = len(ann & brute) / len(brute)
+    scan_fraction = n_probe / n_clusters
+    assert recall >= min(1.0, 2.0 * scan_fraction), (recall, scan_fraction)
+
+
+def test_ivf_training_is_deterministic(spark, emb):
+    import numpy as np
+
+    a = SIM.train_ivf_centroids(emb, n_clusters=8, n_iters=3)
+    b = SIM.train_ivf_centroids(emb, n_clusters=8, n_iters=3)
+    assert np.allclose(a, b, atol=0)
