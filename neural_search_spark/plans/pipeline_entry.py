@@ -504,6 +504,37 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_events_daily(spark, sf_dir):
+    """Daily mergeable stats — what streaming/rollup.py's continuous rollup
+    serves incrementally; here the batch form with its oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_WINDOWED = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
@@ -534,6 +565,7 @@ def pipeline_queries() -> dict:
         "media_decode": q_media_decode,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_daily": q_events_daily,
     }
 
 
@@ -553,6 +585,7 @@ def pipeline_oracles() -> dict:
         "media_stats": SQL_MEDIA_STATS,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
+        "events_daily": SQL_EVENTS_DAILY,
         # ann_topk_lsh, media_decode: intentionally no oracle (approximate /
         # stubbed) — driver records the weaker rows-only check.
     }

@@ -136,3 +136,58 @@ def test_stateful_sessionize_single_batch_matches_session_window(spark, tmp_path
 
     assert got == want_closed
     assert len(want_all) > len(want_closed) > 0
+
+
+def test_continuous_rollup_matches_raw(spark, tmp_path):
+    """Streaming the events in micro-batches through the incremental rollup
+    must yield exactly the aggregates computed from raw in one batch —
+    mergeable partials are associative, so batch boundaries can't matter."""
+    from neural_search_spark.streaming.ingest import EVENTS_SCHEMA
+    from neural_search_spark.streaming.rollup import (
+        daily_from_rollup,
+        rollup_events_stream,
+    )
+
+    events_path = str(tmp_path / "events")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.repartition(6).write.parquet(events_path)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")  # 3 incremental merges
+        .parquet(events_path)
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = rollup_events_stream(stream, rollup_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    # hourly rollup == raw hourly aggregate
+    got_h = {
+        (r["hour"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    want_h = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sv"], 6))
+        for r in raw.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got_h == want_h
+
+    # daily stats from the rollup == daily stats from raw
+    got_d = {
+        (r["day"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6),
+                                      round(r["min_value"], 6), round(r["max_value"], 6))
+        for r in daily_from_rollup(spark, rollup_dir).collect()
+    }
+    want_d = {
+        (r["day"], r["event_type"]): (r["n"], round(r["sv"], 6),
+                                      round(r["mn"], 6), round(r["mx"], 6))
+        for r in raw.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
+             F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got_d == want_d
