@@ -152,6 +152,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     rows_per_band: int = 3,
     k: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): near-dup pairs found by banded MinHash LSH.
 
@@ -159,8 +160,22 @@ def minhash_lsh_pairs(
     shingle-set Jaccard is then computed and thresholded, so the output is
     deterministic (the only approximation is recall: a pair sharing no band
     is never considered — the standard LSH contract).
+
+    ``max_band_size`` is the head-skew guard for web scale: a band key shared
+    by a giant boilerplate cluster makes the self-join quadratic in the
+    cluster size; capping drops keys above the bound (their docs still pair
+    through their OTHER bands unless every band is pathological — i.e. the
+    documents are near-identical boilerplate, exactly the case where exact
+    dedup already catches them). None = exact behavior, no key dropped.
     """
     bands = minhash_band_keys(minhash_signatures(corpus, n_hashes, k), rows_per_band)
+    if max_band_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        bands = bands.withColumn("_sz", F.count(F.lit(1)).over(w)).where(
+            F.col("_sz") <= max_band_size
+        ).drop("_sz")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

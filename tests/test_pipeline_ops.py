@@ -315,3 +315,24 @@ def test_ivf_training_is_deterministic(spark, emb):
     a = SIM.train_ivf_centroids(emb, n_clusters=8, n_iters=3)
     b = SIM.train_ivf_centroids(emb, n_clusters=8, n_iters=3)
     assert np.allclose(a, b, atol=0)
+
+
+def test_minhash_band_size_cap(spark):
+    """max_band_size drops pathological boilerplate band-keys: a 6-copy
+    cluster's quadratic pair-set shrinks under the cap, genuine 2-doc pairs
+    survive, and the uncapped run is always a superset."""
+    rows = [(i, "identical boilerplate page content repeated everywhere exactly") for i in range(6)]
+    rows += [(10, "a distinct real document about spark window functions and joins"),
+             (11, "a distinct real document about spark window functions and joins here")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r["doc_a"], r["doc_b"]) for r in DD.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_pairs(corpus, threshold=0.5, max_band_size=3).collect()
+    }
+    assert capped <= full
+    assert (10, 11) in capped  # the genuine near-dup pair survives the cap
+    # the 6-clone cluster's 15 pairs are dropped (every band is pathological)
+    assert not any(a < 6 and b < 6 for a, b in capped)
+    assert sum(1 for a, b in full if a < 6 and b < 6) == 15
