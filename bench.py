@@ -91,6 +91,19 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         timings["index_build"] = time.time() - t0
         extras["index_build_docs_per_sec"] = n_docs / timings["index_build"]
 
+        # shard balance from the per-shard lineage metrics (SURVEY §7.3.4):
+        # max/median postings per shard ~1 means the salted layout defused
+        # head-term skew — no shard holds a disproportionate posting share
+        mrows = sorted(
+            r["n_postings"]
+            for r in spark.read.parquet(f"{out_dir}/_metrics").collect()
+        )
+        if mrows:
+            median = mrows[len(mrows) // 2]
+            extras["postings_balance_max_over_median"] = (
+                mrows[-1] / median if median else 0.0
+            )
+
         queries = _queries_df(spark)
         t0 = time.time()
         n = bm25_topk_wand(index, queries, positive_only=False).count()
@@ -137,6 +150,7 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "cores": cores,
         "docs_per_sec": round(extras.get("index_build_docs_per_sec", 0.0), 1),
+        "postings_balance": round(extras.get("postings_balance_max_over_median", 0.0), 3),
     }
 
     if scaling:
@@ -248,7 +262,18 @@ def run_scaling(n_docs: int = 400000, cores_pair: tuple[int, int] = (1, 4)) -> d
         write_scale_corpus(sp, corpus_path, n_docs=n_docs, partitions=64)
         sp.stop()
 
-    points = {n: run_scale_point(n, corpus_path, n_docs) for n in cores_pair}
+    # min-of-N per point: single runs on this VM swing +-40% (page cache,
+    # host scheduling); the minimum is the standard noise-robust estimator
+    # for wall-clock scaling measurements
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    points = {}
+    for n in cores_pair:
+        runs = [run_scale_point(n, corpus_path, n_docs) for _ in range(repeats)]
+        best = min(runs, key=lambda r: r["build_sec"] + r["query_sec"])
+        best["runs"] = [
+            {"build_sec": r["build_sec"], "query_sec": r["query_sec"]} for r in runs
+        ]
+        points[n] = best
     t_lo = points[n_lo]["build_sec"] + points[n_lo]["query_sec"]
     t_hi = points[n_hi]["build_sec"] + points[n_hi]["query_sec"]
     ratio = n_hi / n_lo
