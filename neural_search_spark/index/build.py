@@ -182,6 +182,12 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     ckpt = _read_checkpoint(paths)
 
+    # empty corpus -> no index, explicitly (the reference drops the index on
+    # an empty corpus, hybrid.py:114-117; without this guard the failure is a
+    # cryptic schema-inference error on the empty docmap)
+    if not (ckpt and ckpt.get("phase1_done")) and corpus.isEmpty():
+        raise ValueError("cannot build an index over an empty corpus")
+
     span = layout.docs_per_shard
 
     # ---- Phase 1: doc ids, docmap, global stats (single snapshot) ----

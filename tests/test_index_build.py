@@ -235,3 +235,28 @@ def test_wand_actually_prunes_windows(spark, built, oracle):
         assert len(got) == len(want)
         if want:
             assert got[0][1] == pytest.approx(want[0][1], rel=1e-9)
+
+
+def test_empty_corpus_raises_clearly(spark, tmp_path):
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_index(empty, str(tmp_path / "idx"))
+
+
+def test_single_doc_corpus(spark, tmp_path):
+    from neural_search_spark.corpus import queries_df
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+
+    one = spark.createDataFrame(
+        [("u1", None, None, "w0000 hello world", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    idx = build_index(one, str(tmp_path / "idx"), layout=LAYOUT, n_buckets=8)
+    assert idx.stats.n_docs == 1 and idx.stats.avgdl == 3.0
+    res = bm25_topk_wand(idx, queries_df(spark), positive_only=False).collect()
+    # only queries containing a known term ('w0000', incl. uppercase variant)
+    # can match the single doc
+    assert {r["doc_id"] for r in res} == {0}
+    assert len(res) > 0
