@@ -161,3 +161,42 @@ def doc_fingerprints(
         .select("doc_id", F.explode(mins).alias("fp"))
         .distinct()
     )
+
+
+def repetition_profile(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_token_ratio, top_bigram_share): Gopher-style repetition
+    signals — the fraction of tokens that are repeats of an earlier token,
+    and the share of all bigrams taken by the single most frequent bigram.
+    Boilerplate/spam pages score high on both; all array expressions, no
+    shuffle, no Python."""
+    bigrams = F.when(
+        F.size(F.col("t")) >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # share of the most frequent bigram: max over distinct bigrams of their
+    # frequency, via aggregate over the distinct list (array ops only)
+    top_share = F.when(
+        F.size(F.col("bg")) > 0,
+        F.expr(
+            "aggregate(array_distinct(bg), 0, (acc, x) -> "
+            "greatest(acc, size(filter(bg, y -> y = x)))) / cast(size(bg) as double)"
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_ratio = (
+        F.when(
+            F.size("t") > 0,
+            (F.size("t") - F.size(F.array_distinct("t"))) / F.size("t"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        corpus.select("doc_id", tokens_col(F.col(text_col)).alias("t"))
+        .select("doc_id", F.col("t"), bigrams.alias("bg"))
+        .select(
+            "doc_id",
+            F.round(dup_ratio, 6).alias("dup_token_ratio"),
+            F.round(top_share, 6).alias("top_bigram_share"),
+        )
+    )

@@ -410,6 +410,33 @@ FROM hs
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    return TA.repetition_profile(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "dup_token_ratio", "top_bigram_share"
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {_TOKS},
+bg_t AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+           THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]
+           ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM tok_arr
+)
+SELECT doc_id,
+       round(CASE WHEN len(t) > 0
+             THEN (len(t) - len(list_distinct(t))) * 1.0 / len(t)
+             ELSE 0.0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN len(bg) > 0
+             THEN list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)])
+                  * 1.0 / len(bg)
+             ELSE 0.0 END, 6) AS top_bigram_share
+FROM bg_t
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -561,6 +588,7 @@ def pipeline_queries() -> dict:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "events_windowed": q_events_windowed,
@@ -582,6 +610,7 @@ def pipeline_oracles() -> dict:
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
+        "text_repetition": SQL_TEXT_REPETITION,
         "media_stats": SQL_MEDIA_STATS,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
@@ -599,4 +628,5 @@ def bench_queries() -> dict:
         "ann_topk_brute": q_ann_topk_brute,
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
+        "text_repetition": q_text_repetition,
     }

@@ -336,3 +336,17 @@ def test_minhash_band_size_cap(spark):
     # the 6-clone cluster's 15 pairs are dropped (every band is pathological)
     assert not any(a < 6 and b < 6 for a, b in capped)
     assert sum(1 for a, b in full if a < 6 and b < 6) == 15
+
+
+def test_repetition_profile_signals(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam"),
+         (1, "all words here are fully distinct tokens"),
+         (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TA.repetition_profile(df).collect()}
+    assert got[0]["dup_token_ratio"] == pytest.approx(5 / 6)
+    assert got[0]["top_bigram_share"] == 1.0  # every bigram is 'spam spam'
+    assert got[1]["dup_token_ratio"] == 0.0
+    assert got[2]["top_bigram_share"] == 0.0  # no bigrams in a 1-token doc
