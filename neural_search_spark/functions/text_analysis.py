@@ -175,13 +175,20 @@ def repetition_profile(corpus: DataFrame, text_col: str = "text") -> DataFrame:
             "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # share of the most frequent bigram: max over distinct bigrams of their
-    # frequency, via aggregate over the distinct list (array ops only)
+    # share of the most frequent bigram: sort the bigram array, then one
+    # linear run-length pass (aggregate with struct state) — O(L log L) per
+    # doc, shuffle-free. (The distinct-rescan form is O(L^2) per doc: a
+    # 100k-token page would cost ~10^10 comparisons in a single row.)
     top_share = F.when(
         F.size(F.col("bg")) > 0,
         F.expr(
-            "aggregate(array_distinct(bg), 0, (acc, x) -> "
-            "greatest(acc, size(filter(bg, y -> y = x)))) / cast(size(bg) as double)"
+            "aggregate(array_sort(bg), "
+            "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+            "(acc, x) -> named_struct("
+            "  'prev', x, "
+            "  'run', if(acc.prev <=> x, acc.run + 1L, 1L), "
+            "  'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1L, 1L))), "
+            "acc -> acc.best) / cast(size(bg) as double)"
         ),
     ).otherwise(F.lit(0.0))
     dup_ratio = (

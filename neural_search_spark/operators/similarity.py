@@ -161,7 +161,7 @@ def ann_lsh_topk(
     bucket-pruned scan). Each query probes its bucket and every bucket within
     ``probe_hamming`` bit flips (multi-probe LSH), then scores candidates
     exactly and takes top-k. Approximate by design — see the recall gate in
-    tests/test_similarity.py.
+    tests/test_pipeline_ops.py.
     """
     from pyspark.sql import Window
 

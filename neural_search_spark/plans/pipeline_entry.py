@@ -424,16 +424,24 @@ bg_t AS (
            THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]
            ELSE CAST([] AS VARCHAR[]) END AS bg
   FROM tok_arr
-)
-SELECT doc_id,
-       round(CASE WHEN len(t) > 0
-             THEN (len(t) - len(list_distinct(t))) * 1.0 / len(t)
+),
+-- linear top-bigram count via unnest + groupBy (the Spark side uses a
+-- sorted-array run-length pass; both produce the same exact integer max, so
+-- the ratio is bit-identical)
+bgc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS b FROM bg_t)
+  GROUP BY doc_id, b
+),
+bgm AS (SELECT doc_id, max(c) AS maxc FROM bgc GROUP BY doc_id)
+SELECT g.doc_id,
+       round(CASE WHEN len(g.t) > 0
+             THEN (len(g.t) - len(list_distinct(g.t))) * 1.0 / len(g.t)
              ELSE 0.0 END, 6) AS dup_token_ratio,
-       round(CASE WHEN len(bg) > 0
-             THEN list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)])
-                  * 1.0 / len(bg)
+       round(CASE WHEN len(g.bg) > 0
+             THEN m.maxc * 1.0 / len(g.bg)
              ELSE 0.0 END, 6) AS top_bigram_share
-FROM bg_t
+FROM bg_t g LEFT JOIN bgm m ON g.doc_id = m.doc_id
 """
 
 

@@ -350,3 +350,22 @@ def test_repetition_profile_signals(spark):
     assert got[0]["top_bigram_share"] == 1.0  # every bigram is 'spam spam'
     assert got[1]["dup_token_ratio"] == 0.0
     assert got[2]["top_bigram_share"] == 0.0  # no bigrams in a 1-token doc
+
+
+def test_repetition_profile_long_doc_linear(spark):
+    """The top-bigram pass is O(L log L) per doc (sorted run-length), so a
+    web-page-sized document must complete in bounded time — the old
+    distinct-rescan form was O(L^2) and would burn ~10^9 comparisons here."""
+    import time
+
+    # 60k tokens, vocabulary of 37 -> heavy repetition, worst case for the
+    # old quadratic rescan (many distinct bigrams x long array)
+    words = " ".join(f"w{i % 37}" for i in range(60_000))
+    df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+    t0 = time.time()
+    row = TA.repetition_profile(df).collect()[0]
+    elapsed = time.time() - t0
+    assert elapsed < 30, f"long-doc repetition took {elapsed:.1f}s — not linear"
+    # every (w_i, w_{i+1}) bigram repeats ~once per 37-token cycle
+    assert row["dup_token_ratio"] == pytest.approx((60_000 - 37) / 60_000)
+    assert row["top_bigram_share"] == pytest.approx(1 / 37, rel=1e-2)
