@@ -27,6 +27,8 @@ operators are the from-scratch Spark equivalents (Q4/Q11 in SURVEY.md §2.4).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -223,40 +225,63 @@ def train_ivf_centroids(
     """Deterministic coarse quantizer: spherical k-means on the corpus.
 
     Init = the ``n_clusters`` lowest-id vectors (normalized) — deterministic,
-    no RNG. Each Lloyd iteration is one Spark pass: a mapInPandas assignment
-    against the broadcast centroid matrix, then a groupBy mean; the centroid
-    matrix itself (n_clusters x dim floats) lives on the driver — tiny at any
-    corpus scale. Returns a numpy array (n_clusters, dim), rows L2-normalized.
+    no RNG. Each Lloyd iteration is ONE Spark pass: a mapInPandas kernel that
+    assigns each Arrow batch to its nearest centroid AND accumulates the
+    per-cluster partial vector sums in numpy, emitting at most ``n_clusters``
+    tiny (cluster, sum, count) rows per batch. The driver reduces those
+    (n_partitions x n_clusters rows — KBs at any corpus scale) and
+    renormalizes. No per-dimension aggregate expressions: the plan width is
+    constant in ``dim``, so dim 1536+ builds the same 3-node plan as dim 16
+    (the old ``F.array(*[F.sum(v[i]) ...])`` form blew up codegen past a few
+    hundred dims).
     """
     import numpy as np
+    import pandas as pd
 
     seed_rows = (
         embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     )
     C = np.array([r[0] for r in seed_rows], dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
+    dim = C.shape[1]
+
+    base = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
 
     for _ in range(n_iters):
-        assigned = assign_ivf_clusters(embeddings, C, id_col, vec_col)
-        sums = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("v").getItem(i))
-                        for i in range(C.shape[1])
-                    ]
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
+        Ct = C  # rebind for closure capture per iteration
+
+        def partial_sums(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["v"].to_numpy())
+                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                cl = (M @ Ct.T).argmax(axis=1)
+                sums = np.zeros((Ct.shape[0], dim), dtype=np.float64)
+                np.add.at(sums, cl, M)
+                counts = np.bincount(cl, minlength=Ct.shape[0])
+                present = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cluster": present.astype("int32"),
+                        "s": [sums[c].tolist() for c in present],
+                        "n": counts[present].astype("int64"),
+                    }
+                )
+
+        rows = base.mapInPandas(
+            partial_sums, schema="cluster int, s array<double>, n long"
+        ).collect()
         newC = C.copy()
-        for r in sums:
-            m = np.array(r["s"], dtype=np.float64)
-            nrm = np.linalg.norm(m)
+        total = np.zeros((C.shape[0], dim), dtype=np.float64)
+        seen = np.zeros(C.shape[0], dtype=bool)
+        for r in rows:
+            total[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            seen[r["cluster"]] = True
+        for c in np.flatnonzero(seen):
+            nrm = np.linalg.norm(total[c])
             if nrm > 0:
-                newC[r["cluster"]] = m / nrm
+                newC[c] = total[c] / nrm
         C = newC
     return C
 
@@ -289,6 +314,35 @@ def assign_ivf_clusters(
     return base.mapInPandas(kernel, schema="vec_id long, v array<double>, cluster int")
 
 
+@dataclass
+class IVFIndex:
+    """Trained coarse quantizer + persisted cluster assignment.
+
+    ``assigned`` is the (vec_id, v, cluster) DataFrame, persisted: in a
+    deployment this is a precomputed column the table is clustered by, so a
+    probe reads only its clusters' files. Build once with ``build_ivf``,
+    query many times with ``ann_ivf_topk`` — no per-query retrain/reassign.
+    """
+
+    centroids: object  # numpy (n_clusters, dim), rows L2-normalized
+    assigned: DataFrame  # (vec_id, v array<double> normalized-on-score, cluster)
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Train the coarse quantizer and persist the cluster assignment."""
+    centroids = train_ivf_centroids(
+        embeddings, n_clusters, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_ivf_clusters(embeddings, centroids, id_col, vec_col).persist()
+    return IVFIndex(centroids=centroids, assigned=assigned)
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -296,6 +350,7 @@ def ann_ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     centroids=None,
+    ivf: IVFIndex | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -307,15 +362,20 @@ def ann_ivf_topk(
     the (vec_id, cluster) column is precomputed and the table is clustered by
     it, so a probe reads only its clusters' files); each query scores only the
     ``n_probe`` nearest clusters' vectors. Recall/latency trade via
-    n_clusters x n_probe; exact within the probed set.
+    n_clusters x n_probe; exact within the probed set. Pass ``ivf`` (from
+    ``build_ivf``) to reuse a trained quantizer + persisted assignment across
+    query batches.
     """
     import numpy as np
 
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            embeddings, n_clusters, id_col=id_col, vec_col=vec_col
-        )
-    assigned = assign_ivf_clusters(embeddings, centroids, id_col, vec_col)
+    if ivf is not None:
+        centroids, assigned = ivf.centroids, ivf.assigned
+    else:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                embeddings, n_clusters, id_col=id_col, vec_col=vec_col
+            )
+        assigned = assign_ivf_clusters(embeddings, centroids, id_col, vec_col)
 
     spark = queries.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()

@@ -278,13 +278,15 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
 
 def q_ann_topk_ivf(spark, sf_dir):
     # approximate (IVF coarse-quantizer pruning) — rows-only in the driver
-    # gate; recall gate in pytest
+    # gate; recall gate in pytest. build_ivf persists the (vec_id, cluster)
+    # assignment, the deployment shape (train once, query many).
+    ivf = SIM.build_ivf(_emb(spark, sf_dir), n_clusters=16)
     return SIM.ann_ivf_topk(
         _emb(spark, sf_dir),
         _query_vecs(spark, sf_dir),
         top_k=10,
-        n_clusters=16,
         n_probe=4,
+        ivf=ivf,
         query_vec_col="qv",
     )
 

@@ -317,6 +317,34 @@ def test_ivf_training_is_deterministic(spark, emb):
     assert np.allclose(a, b, atol=0)
 
 
+def test_ivf_training_wide_vectors(spark):
+    """Plan width is constant in dim (the kernel does the per-dimension work
+    in numpy), so training at dim 1024 must work — the old per-dimension
+    aggregate-expression form blew up codegen past a few hundred dims."""
+    import numpy as np
+
+    dim, n = 1024, 120
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+    emb_wide = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = SIM.train_ivf_centroids(emb_wide, n_clusters=8, n_iters=2)
+    assert C.shape == (8, dim)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    # assignment covers every vector exactly once
+    ivf = SIM.build_ivf(emb_wide, n_clusters=8, n_iters=2)
+    assert ivf.assigned.count() == n
+    assert ivf.assigned.select("vec_id").distinct().count() == n
+
+
+def test_ivf_index_reuse_matches_fresh(spark, emb, emb_queries):
+    """ann_ivf_topk(ivf=...) (persisted assignment, no retrain) returns the
+    identical result to the train-per-call path."""
+    ivf = SIM.build_ivf(emb, n_clusters=16, n_iters=5)
+    fresh = SIM.ann_ivf_topk(emb, emb_queries, top_k=10, n_clusters=16, n_probe=4)
+    reused = SIM.ann_ivf_topk(emb, emb_queries, top_k=10, n_probe=4, ivf=ivf)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))
+
+
 def test_minhash_band_size_cap(spark):
     """max_band_size drops pathological boilerplate band-keys: a 6-copy
     cluster's quadratic pair-set shrinks under the cap, genuine 2-doc pairs
