@@ -106,22 +106,102 @@ def cosine_pairs(
     )
 
 
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_bands: int = 4,
+    n_planes: int = 6,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding near-dup pairs via banded sign-LSH.
+
+    The scale path for embedding near-duplicate detection (``cosine_pairs``
+    is the O(N^2) verifier): each vector gets ``n_bands`` independent
+    ``n_planes``-bit sign signatures (md5-derived hyperplanes — no RNG, any
+    engine rebuilds them bit-identically); candidates are pairs sharing ANY
+    band's full signature (same banding contract as
+    ``dedup.minhash_lsh_pairs``); each candidate's **exact** cosine is then
+    computed and thresholded. Output is deterministic given the candidate
+    set — the only approximation is recall (a pair agreeing on no band is
+    never considered).
+
+    Cost at N docs: one narrow (id, band, key) shuffle + a bucket self-join
+    bounded by bucket_size^2 per key — never the N^2 cross join.
+    ``max_bucket_size`` caps pathological buckets (mirrors
+    ``minhash_lsh_pairs.max_band_size``): a bucket holding a giant cluster of
+    near-identical embeddings would make the self-join quadratic in the
+    cluster size; capped buckets drop out (their members still pair through
+    their other bands unless every band is pathological — i.e. the vectors
+    are near-identical, which exact/minhash dedup already catches).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    sig_cols = []
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, salt=f"b{band}:")
+        sig_cols.append(_bucket_col(F.col("v"), planes).alias(f"k{band}"))
+    sigs = base.select("vec_id", *sig_cols)
+    long = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(band).alias("band"), F.col(f"k{band}").alias("key"))
+                for band in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        long = (
+            long.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .where(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH (random hyperplane) bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, salt: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is derived
-    from md5(f"{p}#{d}") mapped to [-1, 1). No RNG state — any executor, any
-    run, any engine rebuilds the identical planes."""
+    from md5(f"{salt}{p}#{d}") mapped to [-1, 1). No RNG state — any
+    executor, any run, any engine rebuilds the identical planes. ``salt``
+    keys independent plane families (one per LSH band)."""
     import hashlib
 
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{p}#{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{salt}{p}#{d}".encode()).hexdigest()
             row.append(int(h[:8], 16) / float(1 << 31) - 1.0)
         planes.append(row)
     return planes

@@ -276,6 +276,68 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
 """
 
 
+# banded sign-LSH near-dup: the production embedding-dedup path (cosine_pairs
+# is the O(N^2) verifier). The oracle reproduces the md5-derived hyperplanes
+# as literal arrays and is EXACT on the candidate set — same contract as
+# dedup_minhash_lsh (the only approximation is recall; the candidate
+# generation itself is deterministic and mirrored construct-for-construct).
+_ND_BANDS, _ND_PLANES, _ND_DIM, _ND_THRESHOLD = 4, 6, 64, 0.3
+
+
+def q_emb_near_dup_lsh(spark, sf_dir):
+    return SIM.near_dup_pairs_lsh(
+        _emb(spark, sf_dir),
+        threshold=_ND_THRESHOLD,
+        n_bands=_ND_BANDS,
+        n_planes=_ND_PLANES,
+        dim=_ND_DIM,
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _near_dup_sql() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    rows = []
+    for band in range(_ND_BANDS):
+        planes = _hyperplanes(_ND_DIM, _ND_PLANES, salt=f"b{band}:")
+        for p, w in enumerate(planes):
+            lit = "[" + ", ".join(repr(c) for c in w) + "]"
+            rows.append(f"({band}, {p}, {lit})")
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {_ND_DIM}), "
+        "i -> e.embedding[i]::DOUBLE * pl.w[i]))"
+    )
+    return f"""
+WITH planes(band, p, w) AS (VALUES {", ".join(rows)}),
+sig AS (
+  SELECT e.vec_id, pl.band,
+         sum(CASE WHEN {dot} > 0 THEN (1 << pl.p) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.key = b.key
+                       AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= {_ND_THRESHOLD}
+"""
+
+
+SQL_EMB_NEAR_DUP_LSH = _near_dup_sql()
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     # approximate (IVF coarse-quantizer pruning) — rows-only in the driver
     # gate; recall gate in pytest. build_ivf persists the (vec_id, cluster)
@@ -594,6 +656,7 @@ def pipeline_queries() -> dict:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "emb_cosine_pairs": q_emb_cosine_pairs,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_token_profile": q_text_token_profile,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -616,6 +679,7 @@ def pipeline_oracles() -> dict:
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
+        "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_LSH,
         "text_token_profile": SQL_TEXT_TOKEN_PROFILE,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_id": SQL_TEXT_LANG_ID,

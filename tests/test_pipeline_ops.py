@@ -309,6 +309,57 @@ def test_ann_ivf_recall_beats_sampling(spark, emb, emb_queries):
     assert recall >= min(1.0, 2.0 * scan_fraction), (recall, scan_fraction)
 
 
+def test_near_dup_lsh_subset_of_brute_and_recall(spark):
+    """LSH near-dup pairs must be a subset of the brute-force pairs with
+    identical cosines (precision is exact — only recall is approximate), and
+    recall on genuine near-duplicates (cosine >= 0.95) must clear 0.7."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(32)
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (v + 0.12 * rng.standard_normal(32)).tolist()))  # near-dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.cosine_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.near_dup_pairs_lsh(
+            emb, threshold=0.9, n_bands=4, n_planes=6, dim=32
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert v == pytest.approx(brute[k], abs=1e-12)
+    genuine = {k for k, v in brute.items() if v >= 0.95}
+    if genuine:
+        recall = len(set(lsh) & genuine) / len(genuine)
+        assert recall >= 0.7, recall
+
+
+def test_near_dup_lsh_bucket_cap(spark):
+    """max_bucket_size drops pathological buckets; output stays a subset."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    rows = [(i, (v + 0.01 * rng.standard_normal(16)).tolist()) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {(r["id_a"], r["id_b"]) for r in SIM.near_dup_pairs_lsh(emb, 0.9, dim=16).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.near_dup_pairs_lsh(emb, 0.9, dim=16, max_bucket_size=4).collect()
+    }
+    assert capped <= full
+    assert len(full) == 66  # 12-clone cluster: all C(12,2) pairs found
+    assert len(capped) < len(full)  # every band-bucket holds all 12 -> dropped
+
+
 def test_ivf_training_is_deterministic(spark, emb):
     import numpy as np
 
