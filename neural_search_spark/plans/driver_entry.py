@@ -38,31 +38,62 @@ ENTRY_QUERIES: list[tuple[int, str, int]] = [
     (4, "batch batch window", 5),
 ]
 
+# Query set for the positive-score (reference-parity) entry, over the
+# RARE-TERM-AUGMENTED corpus view (see _aug_docs): pure rare terms, rare
+# mixed with a floored-negative common term (docs matching only the common
+# term net negative and are cut — F3 exercised non-vacuously), a rare term
+# paired with an unknown term, and a repeated rare term.
+ENTRY_QUERIES_RARE: list[tuple[int, str, int]] = [
+    (0, "zq0", 10),
+    (1, "zq1 zq4", 10),
+    (2, "zq2 join", 10),
+    (3, "nosuchterm zq3", 5),
+    (4, "zq5 zq5 batch", 10),
+]
+
+# doc_id-derived rare-term suffix: term zq<doc_id%7> repeated 1+doc_id%3
+# times. df ~ n_docs/7 (< half the corpus), so raw_idf is POSITIVE — this
+# derived view un-degenerates the driver corpus's 31-term vocabulary without
+# synthesizing any external data. Spark and the SQL oracle derive it with
+# the same integer arithmetic, so the views are row-identical.
+_AUG_SUFFIX_SPARK = (
+    "repeat(concat(' zq', cast(doc_id % 7 as string)), cast(1 + doc_id % 3 as int))"
+)
+_AUG_SUFFIX_SQL = "repeat(' zq' || (doc_id % 7)::VARCHAR, (1 + doc_id % 3)::INT)"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _queries_df(spark: SparkSession) -> DataFrame:
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.expr(_AUG_SUFFIX_SPARK))
+    )
+
+
+def _queries_df(spark: SparkSession, queries: list | None = None) -> DataFrame:
     return spark.createDataFrame(
-        [(q, t, k) for q, t, k in ENTRY_QUERIES],
+        [(q, t, k) for q, t, k in (queries or ENTRY_QUERIES)],
         "query_id int, query_text string, top_k int",
     )
 
 
 # --- SQL building blocks (DuckDB dialect, ANSI-compatible) -------------------
 
-_BASE_CTES = f"""
+
+def _base_ctes(src: str = "documents") -> str:
+    return f"""
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
-  FROM documents
+  FROM {src}
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
 cstats AS (
-  SELECT (SELECT count(*) FROM documents) AS n_docs,
+  SELECT (SELECT count(*) FROM {src}) AS n_docs,
          (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM {src}) AS avgdl
 ),
 tstats AS (
   SELECT term, count(*) AS df,
@@ -79,9 +110,16 @@ fidf AS (
 """
 
 
-def _query_values_sql() -> str:
+_BASE_CTES = _base_ctes()
+
+_AUG_CTE = (
+    "docs_aug AS (SELECT doc_id, text || " + _AUG_SUFFIX_SQL + " AS text FROM documents)"
+)
+
+
+def _query_values_sql(queries: list | None = None) -> str:
     rows = []
-    for qid, text, k in ENTRY_QUERIES:
+    for qid, text, k in queries or ENTRY_QUERIES:
         toks = tokenize_py(text)
         counts: dict[str, int] = {}
         for t in toks:
@@ -91,11 +129,18 @@ def _query_values_sql() -> str:
     return "q(query_id, top_k, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
 
 
-def _bm25_sql(select: str, extra_cte: str = "", positive_only: bool = True) -> str:
+def _bm25_sql(
+    select: str,
+    extra_cte: str = "",
+    positive_only: bool = True,
+    src: str = "documents",
+    queries: list | None = None,
+    prefix_cte: str = "",
+) -> str:
     having = "HAVING sum(c) > 0" if positive_only else ""
     return f"""
-WITH {_BASE_CTES},
-{_query_values_sql()},
+WITH {prefix_cte}{_base_ctes(src)},
+{_query_values_sql(queries)},
 contrib AS (
   SELECT q.query_id, q.top_k, tf.doc_id,
          q.qtf * f.idf * (tf.tf * ({K1} + 1))
@@ -124,10 +169,17 @@ ranked AS (
 # --- Spark-side entry queries -------------------------------------------------
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str, positive_only: bool = True) -> DataFrame:
-    idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id", persist=True)
+def _bm25_ranked(
+    spark: SparkSession,
+    sf_dir: str,
+    positive_only: bool = True,
+    docs: DataFrame | None = None,
+    queries: list | None = None,
+) -> DataFrame:
+    corpus = docs if docs is not None else _docs(spark, sf_dir)
+    idx = build_logical_index(corpus, id_col="doc_id", persist=True)
     per_doc = bm25_scores(
-        idx.doc_terms, idx.terms, _queries_df(spark), stats=idx.stats,
+        idx.doc_terms, idx.terms, _queries_df(spark, queries), stats=idx.stats,
         positive_only=positive_only,
     )
     rounded = per_doc.withColumn("score", F.round("score", 4))
@@ -145,13 +197,23 @@ def _topk_cut(ranked: DataFrame) -> DataFrame:
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity top-k (score>0 cut). NB: the driver's ``documents``
-    vocabulary is degenerate (31 terms, each in > half the docs), so every idf
-    is epsilon-floored *negative* and this — exactly like the reference
-    rank-bm25 engine on the same corpus — returns zero rows; the oracle SQL
-    agrees. Non-degenerate behavior is exercised by the pytest suite's
-    realistic corpus and by ``bm25_topk_all`` below."""
-    return _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=True))
+    """Reference-parity top-k (score>0 cut) over the rare-term-augmented
+    corpus view. The raw driver ``documents`` vocabulary is degenerate (31
+    terms, each in > half the docs): every idf is epsilon-floored *negative*
+    and the score>0 cut — exactly like the reference rank-bm25 engine on the
+    same corpus — empties the result, which makes the entry a zero-signal
+    tautology. The ``_aug_docs`` view appends doc_id-derived rare terms
+    (positive idf) on BOTH engines, so this entry ranks real positive scores
+    AND the cut actually filters (query 2 mixes a rare term with a
+    floored-negative common term; docs matching only the common term are
+    dropped). The raw-corpus degenerate behavior stays pinned by
+    ``bm25_topk_all``."""
+    return _topk_cut(
+        _bm25_ranked(
+            spark, sf_dir, positive_only=True,
+            docs=_aug_docs(spark, sf_dir), queries=ENTRY_QUERIES_RARE,
+        )
+    )
 
 
 def q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +223,10 @@ def q_bm25_topk_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BM25_TOPK = _bm25_sql(
-    "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k"
+    "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k",
+    src="docs_aug",
+    queries=ENTRY_QUERIES_RARE,
+    prefix_cte=_AUG_CTE + ",",
 )
 
 SQL_BM25_TOPK_ALL = _bm25_sql(
