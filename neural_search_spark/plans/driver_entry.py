@@ -235,6 +235,62 @@ SQL_BM25_TOPK_ALL = _bm25_sql(
 )
 
 
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship physical path under the oracle: build the sharded
+    compressed index (delta+varint posting blocks, stats-independent
+    (max_tf, min_dl) metadata) over the augmented corpus, query it with
+    block-max WAND in positive mode (positive idfs -> live pruning), and
+    compare to the SAME SQL oracle as ``bm25_topk``.
+
+    The oracle ranks by the 4dp-ROUNDED score (cross-engine 1-ulp safety,
+    see module docstring) while WAND's exact local top-k ranks by the exact
+    score; ranking is reconciled by fetching ``top_k + _WAND_TIE_MARGIN``
+    candidates per query and re-ranking on the rounded score — monotone
+    rounding means a doc in the rounded top-k can only be missing from the
+    exact top-(k+m) if a >m-deep 4dp tie straddles the boundary (far beyond
+    this corpus's tie structure, and any regression trips the hash gate).
+    """
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.bm25_wand import bm25_topk_wand
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    # small shards/blocks so the sf-dir build exercises multi-shard merge and
+    # multi-block pruning (defaults are tuned for 10^12-doc corpora)
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_wand_")
+    index = build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+    )
+    margin_queries = [(q, t, k + _WAND_TIE_MARGIN) for q, t, k in ENTRY_QUERIES_RARE]
+    cand = bm25_topk_wand(
+        index, _queries_df(spark, margin_queries), positive_only=True
+    )
+    per_doc = cand.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+    k_df = spark.createDataFrame(
+        [(q, k) for q, _t, k in ENTRY_QUERIES_RARE], "query_id int, top_k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+_WAND_TIE_MARGIN = 30
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
     s = idx.stats
@@ -581,6 +637,7 @@ LEFT JOIN ideal i ON i.query_id = a.query_id
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_all": q_bm25_topk_all,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
@@ -597,6 +654,7 @@ def base_queries() -> dict:
 def base_oracles() -> dict:
     return {
         "bm25_topk": SQL_BM25_TOPK,
+        "bm25_topk_wand": SQL_BM25_TOPK,  # same oracle: physical path must agree
         "bm25_topk_all": SQL_BM25_TOPK_ALL,
         "corpus_stats": SQL_CORPUS_STATS,
         "term_stats": SQL_TERM_STATS,
