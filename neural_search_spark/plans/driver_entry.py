@@ -291,6 +291,132 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAND_TIE_MARGIN = 30
 
 
+# --- maintenance equivalence (I2/I3 under the oracle) ------------------------
+# build a url-keyed index, add_documents (5 'addmark' clones), then
+# remove_documents (10 urls); the maintained index's WAND top-k must equal a
+# from-scratch SQL build over the final corpus. Output is keyed by url (stable
+# across engines: the maintained index keeps original doc_ids, a fresh build
+# renumbers — scores and url-ranking must agree regardless). doc_id order ==
+# url order by construction (zero-padded ids, 'u' base < 'v' clones), so the
+# WAND (score, doc_id) tie-break agrees with the oracle's (score, url).
+
+MAINT_QUERIES: list[tuple[int, str, int]] = [
+    (0, "join hash", 10),
+    (1, "vector scan spark", 10),
+    (2, "addmark join", 10),
+    (3, "batch window addmark", 10),
+]
+
+
+def q_maintenance_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..index.maintenance import add_documents, remove_documents
+    from ..query.bm25_wand import bm25_topk_wand
+
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    clones = base.where(F.col("doc_id") % 100 == 1).select(
+        F.concat(F.lit("v"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("url"),
+        F.concat(F.col("text"), F.lit(" addmark")).alias("text"),
+    )
+    base_corpus = base.select("url", "text")
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_maint_")
+    layout = IndexLayout(docs_per_shard=128, block_size=32)
+    build_index(base_corpus, out_dir, layout=layout, n_buckets=8)
+
+    after_add = base_corpus.unionByName(clones)
+    add_documents(after_add, out_dir, clones)
+
+    removed_urls = [
+        r["url"] for r in base.where(F.col("doc_id") % 50 == 0).select("url").collect()
+    ]
+    final_corpus = (
+        base.where(F.col("doc_id") % 50 != 0).select("url", "text").unionByName(clones)
+    )
+    idx = remove_documents(final_corpus, out_dir, removed_urls)
+
+    mq = [(q, t, k + _WAND_TIE_MARGIN) for q, t, k in MAINT_QUERIES]
+    cand = bm25_topk_wand(idx, _queries_df(spark, mq), positive_only=False)
+    per_doc = cand.join(idx.docmap.select("doc_id", "url"), "doc_id").select(
+        "query_id", "url", F.round("score", 4).alias("score")
+    )
+    k_df = spark.createDataFrame(
+        [(q, k) for q, _t, k in MAINT_QUERIES], "query_id int, top_k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("top_k"))
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "url", "score")
+    )
+
+
+def _maint_sql() -> str:
+    return f"""
+WITH final AS (
+  SELECT 'u' || lpad(doc_id::VARCHAR, 6, '0') AS url, text
+  FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT 'v' || lpad(doc_id::VARCHAR, 6, '0') AS url, text || ' addmark' AS text
+  FROM documents WHERE doc_id % 100 = 1
+),
+toks AS (
+  SELECT url, unnest(regexp_extract_all(lower(text), '\\w+')) AS term FROM final
+),
+tf AS (SELECT url, term, count(*) AS tf FROM toks GROUP BY url, term),
+dl AS (SELECT url, count(*) AS doc_len FROM toks GROUP BY url),
+cstats AS (
+  SELECT (SELECT count(*) FROM final) AS n_docs,
+         (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM final) AS avgdl
+),
+tstats AS (
+  SELECT term, count(*) AS df,
+         ln((SELECT n_docs FROM cstats) - count(*) + 0.5) - ln(count(*) + 0.5) AS raw_idf
+  FROM tf GROUP BY term
+),
+aidf AS (SELECT avg(raw_idf) AS average_idf FROM tstats),
+fidf AS (
+  SELECT term, df, raw_idf,
+         CASE WHEN raw_idf < 0 THEN {EPS} * (SELECT average_idf FROM aidf)
+              ELSE raw_idf END AS idf
+  FROM tstats
+),
+{_query_values_sql(MAINT_QUERIES)},
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.url,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.url = tf.url
+),
+scored AS (
+  SELECT query_id, top_k, url, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, url
+),
+ranked AS (
+  SELECT query_id, top_k, url, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, url ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, url, score FROM ranked WHERE rank <= top_k
+"""
+
+
+SQL_MAINTENANCE_EQUIVALENCE = _maint_sql()
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
     s = idx.stats
@@ -639,6 +765,7 @@ def base_queries() -> dict:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_all": q_bm25_topk_all,
+        "maintenance_equivalence": q_maintenance_equivalence,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "doc_terms": q_doc_terms,
@@ -656,6 +783,7 @@ def base_oracles() -> dict:
         "bm25_topk": SQL_BM25_TOPK,
         "bm25_topk_wand": SQL_BM25_TOPK,  # same oracle: physical path must agree
         "bm25_topk_all": SQL_BM25_TOPK_ALL,
+        "maintenance_equivalence": SQL_MAINTENANCE_EQUIVALENCE,
         "corpus_stats": SQL_CORPUS_STATS,
         "term_stats": SQL_TERM_STATS,
         "doc_terms": SQL_DOC_TERMS,
