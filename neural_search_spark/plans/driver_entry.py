@@ -417,6 +417,216 @@ SELECT query_id, rank, url, score FROM ranked WHERE rank <= top_k
 SQL_MAINTENANCE_EQUIVALENCE = _maint_sql()
 
 
+# --- search orchestration (Q9 + Q8 seam) under the oracle --------------------
+# SearchEngine.search runs END-TO-END: dense results come from the
+# deterministic hash-embedding stand-in (functions/embed.py — the reference's
+# mock-encoder equivalent), so the hybrid path (sparse k = 2 x dense hits,
+# min-max fuse, dense-survivor cut) and the rerank path (initial_k widen +
+# injected pairwise rescorer) both produce oracle-checkable rows.
+# score_rounding=4 puts every rank boundary on rounded values (see engine.py).
+
+_SO_TOP_K = 10
+_SO_INITIAL_K = 20  # initial_k_policy(10, hybrid=True, rerank=False)
+_SR_INITIAL_K = 50  # initial_k_policy(10, hybrid=False, rerank=True)
+
+
+def _hash_dense(spark: SparkSession, sf_dir: str, initial_k: int) -> DataFrame:
+    """Injected dense results: rounded hash-embed cosine, top initial_k."""
+    from ..functions.embed import hash_embedding
+    from ..operators.similarity import cosine_col
+
+    docs_e = hash_embedding(_aug_docs(spark, sf_dir)).select(
+        "doc_id", F.col("embedding").alias("dv")
+    )
+    qdf = _queries_df(spark, ENTRY_QUERIES_RARE).select(
+        "query_id", F.col("query_text").alias("text")
+    )
+    q_e = hash_embedding(qdf).select("query_id", F.col("embedding").alias("qv"))
+    scored = docs_e.crossJoin(F.broadcast(q_e)).select(
+        "query_id",
+        "doc_id",
+        F.round(cosine_col(F.col("dv"), F.col("qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= initial_k)
+        .select("query_id", "doc_id", "score")
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from .engine import SearchEngine
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), id_col="doc_id", persist=True)
+    return SearchEngine(doc_terms=idx.doc_terms, terms=idx.terms, stats=idx.stats)
+
+
+def q_search_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _engine(spark, sf_dir).search(
+        _queries_df(spark, ENTRY_QUERIES_RARE),
+        top_k=_SO_TOP_K,
+        hybrid=True,
+        alpha=0.5,
+        dense_results=_hash_dense(spark, sf_dir, _SO_INITIAL_K),
+        score_rounding=4,
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_search_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.embed import hash_cosine_reranker
+
+    res = _engine(spark, sf_dir).search(
+        _queries_df(spark, ENTRY_QUERIES_RARE),
+        top_k=_SO_TOP_K,
+        rerank=True,
+        reranker=hash_cosine_reranker(_aug_docs(spark, sf_dir)),
+        score_rounding=4,
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _qsrc_values() -> str:
+    rows = ", ".join(f"({qid}, '{text}')" for qid, text, _k in ENTRY_QUERIES_RARE)
+    return f"qsrc(query_id, text) AS (VALUES {rows})"
+
+
+def _search_common_ctes() -> str:
+    from ..functions.embed import hash_embed_sql_ctes
+
+    return f"""{_AUG_CTE},
+{_base_ctes("docs_aug").strip()},
+{_query_values_sql(ENTRY_QUERIES_RARE)},
+{_qsrc_values()},
+{hash_embed_sql_ctes("docs_aug", "doc_id", "hd").strip()},
+{hash_embed_sql_ctes("qsrc", "query_id", "hq").strip()},
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+sp0 AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM contrib GROUP BY query_id, doc_id HAVING sum(c) > 0
+)"""
+
+
+SQL_SEARCH_ORCHESTRATED = f"""
+WITH {_search_common_ctes()},
+dense0 AS (
+  SELECT hq.query_id, hd.doc_id, round({{cos}}, 6) AS score
+  FROM hd_emb hd CROSS JOIN hq_emb hq
+),
+dense AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM dense0
+  ) WHERE rn <= {_SO_INITIAL_K}
+),
+dkk AS (SELECT query_id, 2 * count(*) AS sparse_k FROM dense GROUP BY query_id),
+sparse AS (
+  SELECT s.query_id, s.doc_id, s.score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM sp0
+  ) s LEFT JOIN dkk ON dkk.query_id = s.query_id
+  WHERE s.rn <= coalesce(dkk.sparse_k, 0)
+),
+dmm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS dn
+  FROM dense
+),
+smm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) = min(score) OVER (PARTITION BY query_id)
+              THEN 1.0
+              ELSE (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+         END AS sn
+  FROM sparse
+),
+fused0 AS (
+  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         coalesce(d.doc_id, s.doc_id) AS doc_id,
+         0.5 * coalesce(d.dn, 0.0) + 0.5 * coalesce(s.sn, 0.0) AS score
+  FROM dmm d FULL OUTER JOIN smm s ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+),
+fcut AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM fused0
+  ) WHERE rn <= {_SO_INITIAL_K}
+),
+surv AS (
+  SELECT f.query_id, f.doc_id, f.score
+  FROM fcut f JOIN (SELECT DISTINCT query_id, doc_id FROM dense) di
+    ON di.query_id = f.query_id AND di.doc_id = f.doc_id
+),
+final AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM surv
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score
+FROM final WHERE rank <= {_SO_TOP_K}
+"""
+
+
+SQL_SEARCH_RERANKED = f"""
+WITH {_search_common_ctes()},
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM sp0
+  ) WHERE rn <= {_SR_INITIAL_K}
+),
+rr AS (
+  SELECT c.query_id, c.doc_id, round({{cos}}, 6) AS score
+  FROM cand c
+  JOIN hd_emb hd ON hd.doc_id = c.doc_id
+  JOIN hq_emb hq ON hq.query_id = c.query_id
+),
+final AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, rank, doc_id, score FROM final WHERE rank <= {_SO_TOP_K}
+"""
+
+
+def _fill_cos(sql: str) -> str:
+    from .pipeline_entry import _cos_sql
+
+    return sql.replace("{cos}", _cos_sql("hd.v", "hq.v"))
+
+
+SQL_SEARCH_ORCHESTRATED = _fill_cos(SQL_SEARCH_ORCHESTRATED)
+SQL_SEARCH_RERANKED = _fill_cos(SQL_SEARCH_RERANKED)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_logical_index(_docs(spark, sf_dir), id_col="doc_id")
     s = idx.stats
@@ -766,6 +976,8 @@ def base_queries() -> dict:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_topk_all": q_bm25_topk_all,
         "maintenance_equivalence": q_maintenance_equivalence,
+        "search_orchestrated": q_search_orchestrated,
+        "search_reranked": q_search_reranked,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
         "doc_terms": q_doc_terms,
@@ -784,6 +996,8 @@ def base_oracles() -> dict:
         "bm25_topk_wand": SQL_BM25_TOPK,  # same oracle: physical path must agree
         "bm25_topk_all": SQL_BM25_TOPK_ALL,
         "maintenance_equivalence": SQL_MAINTENANCE_EQUIVALENCE,
+        "search_orchestrated": SQL_SEARCH_ORCHESTRATED,
+        "search_reranked": SQL_SEARCH_RERANKED,
         "corpus_stats": SQL_CORPUS_STATS,
         "term_stats": SQL_TERM_STATS,
         "doc_terms": SQL_DOC_TERMS,

@@ -60,14 +60,39 @@ class SearchEngine:
             "alpha": HYBRID_ALPHA,
         }
 
-    def _sparse(self, queries: DataFrame, filters: dict | None) -> DataFrame:
+    def _sparse(
+        self,
+        queries: DataFrame,
+        filters: dict | None,
+        score_rounding: int | None = None,
+    ) -> DataFrame:
         per_doc = bm25_scores(self.doc_terms, self.terms, queries, stats=self.stats)
         if filters:
             if self.metadata is None:
                 raise ValueError("filters given but no metadata DataFrame attached")
             allowed = self.metadata.where(compile_filters(filters)).select("doc_id")
             per_doc = per_doc.join(allowed, "doc_id")  # pushdown-friendly semi-ish join
+        if score_rounding is not None:
+            per_doc = per_doc.withColumn("score", F.round("score", score_rounding))
         return per_doc
+
+    def _apply_rerank(self, candidates, queries, reranker, top_k: int) -> DataFrame:
+        """Rescore the initial_k candidate set and cut to the final top_k.
+
+        Reference flow (``core/reranker.py:53-101`` driven by
+        ``search_engine.py``): the cross-encoder scores every (query,
+        candidate) pair and the final order is rerank-score descending.
+        ``reranker(candidates(query_id, doc_id), queries) -> (query_id,
+        doc_id, score)`` — the injected-scorer seam where a model runtime
+        plugs in; a deterministic stand-in lives in functions/embed.py.
+        """
+        rr = reranker(candidates.select("query_id", "doc_id"), queries)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            rr.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
     def search(
         self,
@@ -78,10 +103,26 @@ class SearchEngine:
         rerank: bool = False,
         filters: dict | None = None,
         dense_results: DataFrame | None = None,
+        score_rounding: int | None = None,
+        reranker=None,
     ) -> DataFrame:
-        """(query_id, rank, doc_id, score) per query."""
+        """(query_id, rank, doc_id, score) per query.
+
+        ``score_rounding``: round sparse per-doc scores to this many decimals
+        before any rank cut. Engine-equivalence mode: with it, every rank
+        boundary in the plan is decided on rounded values with the doc_id
+        tie-break, so an independent engine (the DuckDB oracle) computing the
+        same plan reproduces results bit-for-bit — a 1-ulp libm divergence
+        cannot flip a cut. Default None = raw scores (reference behavior).
+
+        ``rerank=True`` widens initial_k per the reference policy; if a
+        ``reranker`` scorer is also given, the candidate set is rescored and
+        the final order is rerank-score descending (without one, the widened
+        candidate fetch alone is preserved — reranking needs a model runtime,
+        see ``rerank_hook``).
+        """
         initial_k = initial_k_policy(top_k, hybrid, rerank)
-        queries = queries.withColumn("top_k", F.lit(initial_k))
+        queries_k = queries.withColumn("top_k", F.lit(initial_k))
 
         if not hybrid or dense_results is None:
             # pure sparse path (plus optional injected-dense-only mode)
@@ -93,14 +134,16 @@ class SearchEngine:
                 base = base.withColumn("top_k", F.lit(initial_k))
                 ranked = rank_topk(base)
             else:
-                ranked = rank_topk(self._sparse(queries, filters))
+                ranked = rank_topk(self._sparse(queries_k, filters, score_rounding))
+            if rerank and reranker is not None:
+                return self._apply_rerank(ranked, queries, reranker, top_k)
             return ranked.where(F.col("rank") <= top_k)
 
         # hybrid: sparse k = 2 x dense hits per query (hybrid.py:198)
         dense_k = dense_results.groupBy("query_id").agg(
             (F.count(F.lit(1)) * 2).alias("sparse_k")
         )
-        sparse_all = self._sparse(queries.drop("top_k"), filters).join(
+        sparse_all = self._sparse(queries, filters, score_rounding).join(
             F.broadcast(dense_k), "query_id", "left"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -118,6 +161,8 @@ class SearchEngine:
         # final filter: only docs present in the dense result set survive
         dense_ids = dense_results.select("query_id", "doc_id").distinct()
         surviving = fused.join(dense_ids, ["query_id", "doc_id"])
+        if rerank and reranker is not None:
+            return self._apply_rerank(surviving, queries, reranker, top_k)
         w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             surviving.withColumn("rank", F.row_number().over(w2))
@@ -126,12 +171,14 @@ class SearchEngine:
         )
 
     def rerank_hook(self, candidates: DataFrame, queries: DataFrame) -> DataFrame:
-        """Q8 cross-encoder rerank is model inference — out of scope.
+        """Q8 cross-encoder rerank with a REAL model is out of scope here.
 
-        The plumbing contract (batch (query, doc) pairs through a broadcast
-        model inside mapInPandas) is exercised by the multimodal stubs; this
-        hook intentionally raises, mirroring the scope decision in SURVEY §7.0.
+        The orchestration seam is ``search(rerank=True, reranker=...)`` —
+        exercised end-to-end (and oracle-checked) with the deterministic
+        hash-embedding scorer from functions/embed.py. This hook raises for
+        the real-model case, mirroring the scope decision in SURVEY §7.0.
         """
         raise NotImplementedError(
-            "cross-encoder reranking requires a model runtime; see SURVEY.md §7.0"
+            "cross-encoder reranking requires a model runtime; see SURVEY.md §7.0 "
+            "and search(reranker=...) for the injectable-scorer seam"
         )
