@@ -291,6 +291,40 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAND_TIE_MARGIN = 30
 
 
+def q_bm25_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The low-latency serving path under the oracle: build the physical
+    index, answer the query set with ``IndexReader`` (pyarrow posting-block
+    reads, NO Spark job per query), and hash-match the same SQL oracle as
+    ``bm25_topk``/``bm25_topk_wand``. Same rounded-rank reconciliation as
+    the WAND entry."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.serve import IndexReader
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_serve_")
+    build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+    )
+    reader = IndexReader(out_dir)
+    rows = []
+    for qid, text, k in ENTRY_QUERIES_RARE:
+        cand = reader.query(text, top_k=k + _WAND_TIE_MARGIN, positive_only=True)
+        ranked = sorted(
+            ((round(s, 4), d) for d, s in cand), key=lambda x: (-x[0], x[1])
+        )
+        for rank, (score, doc_id) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    return spark.createDataFrame(
+        rows, "query_id int, rank long, doc_id long, score double"
+    )
+
+
 # --- maintenance equivalence (I2/I3 under the oracle) ------------------------
 # build a url-keyed index, add_documents (5 'addmark' clones), then
 # remove_documents (10 urls); the maintained index's WAND top-k must equal a
@@ -974,6 +1008,7 @@ def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_serve": q_bm25_topk_serve,
         "bm25_topk_all": q_bm25_topk_all,
         "maintenance_equivalence": q_maintenance_equivalence,
         "search_orchestrated": q_search_orchestrated,
@@ -994,6 +1029,7 @@ def base_oracles() -> dict:
     return {
         "bm25_topk": SQL_BM25_TOPK,
         "bm25_topk_wand": SQL_BM25_TOPK,  # same oracle: physical path must agree
+        "bm25_topk_serve": SQL_BM25_TOPK,  # serving reader must agree too
         "bm25_topk_all": SQL_BM25_TOPK_ALL,
         "maintenance_equivalence": SQL_MAINTENANCE_EQUIVALENCE,
         "search_orchestrated": SQL_SEARCH_ORCHESTRATED,

@@ -1,0 +1,99 @@
+"""IndexReader (query/serve.py): rank identity with the Spark paths + latency.
+
+The serving contract: a reader over the parquet index returns EXACTLY what
+the cluster-side paths return — same docs, same scores (1e-9), same
+deterministic tie order — and answers warm queries in milliseconds without
+touching Spark.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.config import IndexLayout
+from neural_search_spark.corpus import write_corpus_parquet
+from neural_search_spark.index.build import build_index
+from neural_search_spark.index.docmap import assign_doc_ids
+from neural_search_spark.query.bm25_wand import bm25_topk_wand
+from neural_search_spark.query.serve import IndexReader
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    corpus_path = str(root / "corpus")
+    write_corpus_parquet(spark, corpus_path, n_docs=400)
+    corpus = assign_doc_ids(spark.read.parquet(corpus_path))
+    out_dir = str(root / "idx")
+    index = build_index(
+        corpus, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=64, block_size=16), n_buckets=8,
+    )
+    return index, IndexReader(out_dir)
+
+
+QUERIES = ["w0005 w0010", "w0001", "w0000 w0002 w0007", "nosuchterm w0003"]
+
+
+@pytest.mark.parametrize("positive_only", [True, False])
+def test_reader_matches_wand(spark, served, positive_only):
+    index, reader = served
+    for qi, text in enumerate(QUERIES):
+        q = spark.createDataFrame(
+            [(qi, text, 12)], "query_id int, query_text string, top_k int"
+        )
+        expect = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_wand(index, q, positive_only=positive_only)
+            .orderBy("rank")
+            .collect()
+        ]
+        got = reader.query(text, top_k=12, positive_only=positive_only)
+        assert [d for d, _ in got] == [d for d, _ in expect], text
+        for (_, gs), (_, es) in zip(got, expect):
+            assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_reader_unknown_terms_empty(served):
+    _, reader = served
+    assert reader.query("totallyunknown absent") == []
+
+
+def test_reader_refresh_after_maintenance(spark, tmp_path):
+    """The reader serves the post-maintenance snapshot after refresh()."""
+    from neural_search_spark.index.maintenance import add_documents
+
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus_parquet(spark, corpus_path, n_docs=120)
+    base = spark.read.parquet(corpus_path).select("url", "text")
+    out_dir = str(tmp_path / "idx")
+    build_index(
+        base, out_dir,
+        layout=IndexLayout(docs_per_shard=64, block_size=16), n_buckets=8,
+    )
+    reader = IndexReader(out_dir)
+    assert reader.query("freshterm") == []
+
+    new_docs = spark.createDataFrame(
+        [("zzz://new/1", "freshterm freshterm w0005")], "url string, text string"
+    )
+    add_documents(base.unionByName(new_docs), out_dir, new_docs)
+    stale = reader.query("freshterm")  # pre-refresh dictionary: term unknown
+    assert stale == []
+    reader.refresh()
+    got = reader.query("freshterm", top_k=5)
+    assert len(got) == 1 and got[0][0] == 120  # appended id after max(119)
+
+
+def test_reader_latency_ms(served):
+    _, reader = served
+    reader.query("w0005 w0010", top_k=10)  # warm: caches + page cache
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        reader.query("w0005 w0010", top_k=10)
+    per_query_ms = (time.time() - t0) / n * 1000
+    assert per_query_ms < 250, per_query_ms  # generous bound for CI noise
