@@ -115,6 +115,44 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         timings["df_batch_topk"] = time.time() - t0
         assert n > 0
 
+        # positive-mode WAND over the rare-term-augmented corpus: the
+        # degenerate base vocabulary floors every idf negative, so match-mode
+        # WAND can never prune (bounds clamp to 0); the augmented corpus has
+        # positive idfs and this workload reports the real block-max skip
+        # rate (windows pruned / windows considered).
+        from neural_search_spark.plans.driver_entry import (
+            ENTRY_QUERIES_RARE,
+            _aug_docs,
+        )
+
+        aug_dir = tempfile.mkdtemp(prefix="nss_bench_idx_aug_")
+        try:
+            aug_docs = _aug_docs(spark, sf_dir).withColumn(
+                "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+            )
+            t0 = time.time()
+            aug_index = build_index(
+                aug_docs, aug_dir, id_col="doc_id", layout=layout, n_buckets=16
+            )
+            extras["index_build_aug_sec"] = time.time() - t0
+            rare_q = spark.createDataFrame(
+                [(q, t, k) for q, t, k in ENTRY_QUERIES_RARE],
+                "query_id int, query_text string, top_k int",
+            )
+            pstats: dict = {}
+            t0 = time.time()
+            n = bm25_topk_wand(
+                aug_index, rare_q, positive_only=True,
+                pruning_stats=pstats, window_docs=64,
+            ).count()
+            timings["wand_topk_pos"] = time.time() - t0
+            assert n > 0
+            visited, considered = pstats["visited"].value, pstats["total"].value
+            if considered:
+                extras["wand_skip_rate"] = 1.0 - visited / considered
+        finally:
+            shutil.rmtree(aug_dir, ignore_errors=True)
+
         # training-data pipeline operators (added incrementally; gate on import)
         try:
             from neural_search_spark.plans import pipeline_entry
@@ -151,6 +189,8 @@ def main() -> None:
         "cores": cores,
         "docs_per_sec": round(extras.get("index_build_docs_per_sec", 0.0), 1),
         "postings_balance": round(extras.get("postings_balance_max_over_median", 0.0), 3),
+        "wand_skip_rate": round(extras.get("wand_skip_rate", 0.0), 3),
+        "index_build_aug_sec": round(extras.get("index_build_aug_sec", 0.0), 3),
     }
 
     if scaling:
@@ -184,21 +224,49 @@ try:
         layout=IndexLayout(docs_per_shard=4096, block_size=128), n_buckets=64,
     )
     build_sec = time.time() - t0
+    pstats = {}
     t0 = time.time()
-    n = bm25_topk_wand(index, queries_df(spark)).count()
+    n = bm25_topk_wand(index, queries_df(spark), pruning_stats=pstats).count()
     query_sec = time.time() - t0
     assert n > 0
+    visited, considered = pstats["visited"].value, pstats["total"].value
     print("SCALE_RESULT " + json.dumps({
         "build_sec": round(build_sec, 3),
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_sec": round(query_sec, 3),
+        "wand_skip_rate": round(1.0 - visited / considered, 3) if considered else 0.0,
     }))
 finally:
     shutil.rmtree(out_dir, ignore_errors=True)
 """
 
 
-def run_scale_point(cores: int, corpus_path: str, n_docs: int) -> dict:
+_PIPE_SCALE_JOB = """
+import json, sys, time
+from pyspark.sql import SparkSession, functions as F
+from neural_search_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+corpus_path, n_docs = sys.argv[1], int(sys.argv[2])
+spark = SparkSession.builder.getOrCreate()
+docs = (spark.read.parquet(corpus_path)
+        .select(F.xxhash64("url").alias("doc_id"), "text"))
+t0 = time.time()
+minhash_lsh_pairs(docs, threshold=0.5, max_band_size=64).count()
+mh_sec = time.time() - t0
+t0 = time.time()
+simhash_pairs(docs, max_hamming=3).count()
+sh_sec = time.time() - t0
+print("SCALE_RESULT " + json.dumps({
+    "minhash_sec": round(mh_sec, 3),
+    "simhash_sec": round(sh_sec, 3),
+    "docs_per_sec": round(n_docs / (mh_sec + sh_sec), 1),
+}))
+"""
+
+
+def run_scale_point(
+    cores: int, corpus_path: str, n_docs: int, job_src: str = _SCALE_JOB
+) -> dict:
     """One parallelism level, in its OWN spark-submit process (--py-files,
     the north-rule deployment mode): fresh JVM so driver memory / scheduler
     state can't leak between the local[8] and local[32] measurements."""
@@ -213,7 +281,7 @@ def run_scale_point(cores: int, corpus_path: str, n_docs: int) -> dict:
     subprocess.run(["zip", "-qr", pyzip, "neural_search_spark"], cwd=repo, check=True)
     job = os.path.join(tempfile.gettempdir(), "nss_scale_job.py")
     with open(job, "w") as f:
-        f.write(_SCALE_JOB)
+        f.write(job_src)
     env = dict(os.environ)
     # one BLAS/OpenMP thread per Python worker: otherwise each of the
     # ``cores`` workers spawns nproc BLAS threads (cores x nproc total) and
@@ -277,7 +345,7 @@ def run_scaling(n_docs: int = 400000, cores_pair: tuple[int, int] = (1, 4)) -> d
     t_lo = points[n_lo]["build_sec"] + points[n_lo]["query_sec"]
     t_hi = points[n_hi]["build_sec"] + points[n_hi]["query_sec"]
     ratio = n_hi / n_lo
-    return {
+    result = {
         "n_docs": n_docs,
         f"local{n_lo}": points[n_lo],
         f"local{n_hi}": points[n_hi],
@@ -290,6 +358,35 @@ def run_scaling(n_docs: int = 400000, cores_pair: tuple[int, int] = (1, 4)) -> d
             (points[n_lo]["build_sec"] / points[n_hi]["build_sec"]) / ratio, 3
         ),
     }
+
+    # pipeline-op scaling (dedup minhash-LSH + simhash) at the same cores
+    # pair, own corpus size: the ops are md5/shuffle-volume-dominated (each
+    # doc expands to ~200 shingles x 12 hashes and ~150 tf rows x 48 bits),
+    # so 30k docs is already minutes of single-core work — plenty to feed
+    # the cores without pushing the low-parallelism point past a half hour
+    pipe_docs = int(os.environ.get("SPARK_GRAFT_PIPE_DOCS", "30000"))
+    pipe_path = f"/tmp/nss_scale_corpus_{pipe_docs}"
+    if not os.path.exists(pipe_path):
+        sp = _fresh_spark("local[32]", 32)
+        write_scale_corpus(sp, pipe_path, n_docs=pipe_docs, partitions=64)
+        sp.stop()
+    pipe_points = {}
+    for n in cores_pair:
+        runs = [
+            run_scale_point(n, pipe_path, pipe_docs, job_src=_PIPE_SCALE_JOB)
+            for _ in range(repeats)
+        ]
+        pipe_points[n] = min(runs, key=lambda r: r["minhash_sec"] + r["simhash_sec"])
+    p_lo = pipe_points[n_lo]["minhash_sec"] + pipe_points[n_lo]["simhash_sec"]
+    p_hi = pipe_points[n_hi]["minhash_sec"] + pipe_points[n_hi]["simhash_sec"]
+    result["pipeline"] = {
+        "n_docs": pipe_docs,
+        f"local{n_lo}": pipe_points[n_lo],
+        f"local{n_hi}": pipe_points[n_hi],
+        "speedup": round(p_lo / p_hi, 3),
+        "efficiency": round((p_lo / p_hi) / ratio, 3),
+    }
+    return result
 
 
 if __name__ == "__main__":
