@@ -181,154 +181,179 @@ def build_index(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ckpt = _read_checkpoint(paths)
+    dt_cached = None  # set when phase 1 runs in THIS call (reused by phase 2)
+    try:
+        # empty corpus -> no index, explicitly (the reference drops the index on
+        # an empty corpus, hybrid.py:114-117; without this guard the failure is a
+        # cryptic schema-inference error on the empty docmap)
+        if not (ckpt and ckpt.get("phase1_done")) and corpus.isEmpty():
+            raise ValueError("cannot build an index over an empty corpus")
 
-    # empty corpus -> no index, explicitly (the reference drops the index on
-    # an empty corpus, hybrid.py:114-117; without this guard the failure is a
-    # cryptic schema-inference error on the empty docmap)
-    if not (ckpt and ckpt.get("phase1_done")) and corpus.isEmpty():
-        raise ValueError("cannot build an index over an empty corpus")
+        span = layout.docs_per_shard
 
-    span = layout.docs_per_shard
-
-    # ---- Phase 1: doc ids, docmap, global stats (single snapshot) ----
-    if not (ckpt and ckpt.get("phase1_done")):
-        t0 = time.time()
-        if id_col is None:
-            with_ids = assign_doc_ids(corpus, order_col=url_col)
-        else:
-            with_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
-        # doc_len computed inline in the docmap projection — a per-row pandas
-        # UDF in the same stage, no shuffle join against a separate
-        # doc_lengths pass (serial-fraction killer at small SF, one less
-        # barrier at any SF)
-        from ..functions.tokenize import token_count_udf
-
-        docmap_df = with_ids.select(
-            (F.col("doc_id") / span).cast("int").alias("shard"),
-            "doc_id",
-            F.col(url_col).alias("url"),
-            token_count_udf(F.col(text_col)).alias("doc_len"),
-        )
-        docmap_df.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
-
-        dm = spark.read.parquet(paths.docmap)
-        row = dm.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("doc_len").alias("avgdl"),
-            F.max("shard").alias("max_shard"),
-        ).collect()[0]
-        n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
-
-        dt = doc_terms(with_ids, id_col="doc_id", text_col=text_col)
-        # cache the vocabulary-sized term stats: the average_idf agg and the
-        # floored write would otherwise EACH re-run the full tokenize pass
-        ts = term_stats(dt, n_docs).persist()
-        average_idf = float(ts.agg(F.avg("raw_idf")).collect()[0][0] or 0.0)
-        floored_term_stats(ts, average_idf, params).write.mode("overwrite").parquet(
-            paths.term_stats
-        )
-        ts.unpersist()
-        spark.createDataFrame(
-            [
-                (
-                    n_docs,
-                    avgdl,
-                    average_idf,
-                    params.k1,
-                    params.b,
-                    params.epsilon,
-                    span,
-                    layout.block_size,
-                )
-            ],
-            "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-            "epsilon double, docs_per_shard long, block_size int",
-        ).write.mode("overwrite").parquet(paths.corpus_stats)
-
-        ckpt = {
-            "build_id": str(uuid.uuid4()),
-            "phase1_done": True,
-            "phase1_elapsed_sec": time.time() - t0,
-            "fingerprint": {
-                "n_docs": n_docs,
-                "avgdl": avgdl,
-                "k1": params.k1,
-                "b": params.b,
-                "epsilon": params.epsilon,
-                "docs_per_shard": span,
-                "block_size": layout.block_size,
-            },
-            "n_shards": max_shard + 1,
-            "done_shards": [],
-        }
-        _write_checkpoint(paths, ckpt)
-
-    # ---- Phase 2: postings per shard, in resumable waves ----
-    n_shards = int(ckpt["n_shards"])
-    done = set(ckpt["done_shards"])
-    todo = [s for s in range(n_shards) if s not in done]
-    if todo:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        docmap_df = spark.read.parquet(paths.docmap)
-
-        wave_size = max(1, -(-len(todo) // max(1, waves)))
-        for wi in range(0, len(todo), wave_size):
-            wave_shards = todo[wi : wi + wave_size]
+        # ---- Phase 1: doc ids, docmap, global stats (single snapshot) ----
+        if not (ckpt and ckpt.get("phase1_done")):
             t0 = time.time()
-            if id_col is not None:
-                wave_docs = corpus.withColumn("doc_id", F.col(id_col).cast("long")).where(
-                    (F.col("doc_id") / span).cast("int").isin(wave_shards)
-                )
+            if id_col is None:
+                with_ids = assign_doc_ids(corpus, order_col=url_col)
             else:
-                # shard filter pushes into the docmap scan (partition pruning);
-                # only the wave's docs get re-tokenized on resume.
-                wave_docs = corpus.join(
-                    docmap_df.where(F.col("shard").isin(wave_shards)).select("doc_id", "url"),
-                    url_col,
-                )
-            dt = doc_terms(wave_docs, id_col="doc_id", text_col=text_col)
-            dt = dt.withColumn("shard", (F.col("doc_id") / span).cast("int"))
-            # native crc32 (JVM-side) — bucket is internal layout only
-            dt = dt.withColumn(
-                "bucket", (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int")
-            )
-            encoded = dt.groupBy("shard", "bucket").applyInPandas(
-                _encode_kernel(span, layout.block_size),
-                schema=POSTINGS_SCHEMA,
-            )
-            encoded.write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
-            elapsed = time.time() - t0
+                with_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+            # doc_len computed inline in the docmap projection — a per-row pandas
+            # UDF in the same stage, no shuffle join against a separate
+            # doc_lengths pass (serial-fraction killer at small SF, one less
+            # barrier at any SF)
+            from ..functions.tokenize import token_count_udf
 
-            # per-shard lineage metrics (docs, postings, blocks, bytes, elapsed)
-            written = spark.read.parquet(paths.postings).where(
-                F.col("shard").isin(wave_shards)
+            docmap_df = with_ids.select(
+                (F.col("doc_id") / span).cast("int").alias("shard"),
+                "doc_id",
+                F.col(url_col).alias("url"),
+                token_count_udf(F.col(text_col)).alias("doc_len"),
             )
-            metrics = written.groupBy("shard").agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.sum("n_docs").alias("n_postings"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum(F.octet_length("deltas")).alias("deltas_bytes"),
-                F.sum(F.octet_length("tfs")).alias("tfs_bytes"),
-            ).select(
-                F.lit(ckpt["build_id"]).alias("build_id"),
-                F.lit(wi // wave_size).alias("wave"),
-                "shard",
-                "n_terms",
-                "n_postings",
-                "n_blocks",
-                "deltas_bytes",
-                "tfs_bytes",
-                F.lit(elapsed).alias("elapsed_sec"),
-            )
-            metrics.write.mode("append").parquet(paths.metrics)
+            docmap_df.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
 
-            done.update(wave_shards)
-            ckpt["done_shards"] = sorted(done)
+            dm = spark.read.parquet(paths.docmap)
+            row = dm.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.max("shard").alias("max_shard"),
+            ).collect()[0]
+            n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
+
+            dt = doc_terms(with_ids, id_col="doc_id", text_col=text_col)
+            # persist the tokenized rows across phases: phase 2 (posting encode)
+            # consumes the same (doc_id, term, tf) rows, and re-tokenizing is the
+            # single priciest stage of the build (Python-re pandas UDF over the
+            # full corpus). MEMORY_AND_DISK is no worse than the phase-2 shuffle
+            # that materializes these rows anyway; the resume path (fresh call
+            # after a crash) still re-tokenizes only the missing shards.
+            from pyspark import StorageLevel
+
+            dt = dt.persist(StorageLevel.MEMORY_AND_DISK)
+            dt_cached = dt
+            # the vocabulary-sized term stats feed two consumers (average_idf agg
+            # + floored write); persisting avoids recomputing the term groupBy
+            ts = term_stats(dt, n_docs).persist()
+            average_idf = float(ts.agg(F.avg("raw_idf")).collect()[0][0] or 0.0)
+            floored_term_stats(ts, average_idf, params).write.mode("overwrite").parquet(
+                paths.term_stats
+            )
+            ts.unpersist()
+            spark.createDataFrame(
+                [
+                    (
+                        n_docs,
+                        avgdl,
+                        average_idf,
+                        params.k1,
+                        params.b,
+                        params.epsilon,
+                        span,
+                        layout.block_size,
+                    )
+                ],
+                "n_docs long, avgdl double, average_idf double, k1 double, b double, "
+                "epsilon double, docs_per_shard long, block_size int",
+            ).write.mode("overwrite").parquet(paths.corpus_stats)
+
+            ckpt = {
+                "build_id": str(uuid.uuid4()),
+                "phase1_done": True,
+                "phase1_elapsed_sec": time.time() - t0,
+                "fingerprint": {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "k1": params.k1,
+                    "b": params.b,
+                    "epsilon": params.epsilon,
+                    "docs_per_shard": span,
+                    "block_size": layout.block_size,
+                },
+                "n_shards": max_shard + 1,
+                "done_shards": [],
+            }
             _write_checkpoint(paths, ckpt)
-            if fail_after_wave is not None and (wi // wave_size) + 1 >= fail_after_wave:
-                raise RuntimeError(f"injected failure after wave {wi // wave_size}")
 
-    return load_index(spark, out_dir)
+        # ---- Phase 2: postings per shard, in resumable waves ----
+        n_shards = int(ckpt["n_shards"])
+        done = set(ckpt["done_shards"])
+        todo = [s for s in range(n_shards) if s not in done]
+        if todo:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            docmap_df = spark.read.parquet(paths.docmap)
+
+            wave_size = max(1, -(-len(todo) // max(1, waves)))
+            for wi in range(0, len(todo), wave_size):
+                wave_shards = todo[wi : wi + wave_size]
+                t0 = time.time()
+                if dt_cached is not None:
+                    # phase 1 ran in this call: reuse its persisted tokenization
+                    dt = dt_cached.withColumn(
+                        "shard", (F.col("doc_id") / span).cast("int")
+                    ).where(F.col("shard").isin(wave_shards))
+                else:
+                    if id_col is not None:
+                        wave_docs = corpus.withColumn(
+                            "doc_id", F.col(id_col).cast("long")
+                        ).where((F.col("doc_id") / span).cast("int").isin(wave_shards))
+                    else:
+                        # shard filter pushes into the docmap scan (partition
+                        # pruning); only the wave's docs get re-tokenized on resume.
+                        wave_docs = corpus.join(
+                            docmap_df.where(F.col("shard").isin(wave_shards)).select(
+                                "doc_id", "url"
+                            ),
+                            url_col,
+                        )
+                    dt = doc_terms(wave_docs, id_col="doc_id", text_col=text_col)
+                    dt = dt.withColumn("shard", (F.col("doc_id") / span).cast("int"))
+                # native crc32 (JVM-side) — bucket is internal layout only
+                dt = dt.withColumn(
+                    "bucket", (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int")
+                )
+                encoded = dt.groupBy("shard", "bucket").applyInPandas(
+                    _encode_kernel(span, layout.block_size),
+                    schema=POSTINGS_SCHEMA,
+                )
+                encoded.write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
+                elapsed = time.time() - t0
+
+                # per-shard lineage metrics (docs, postings, blocks, bytes, elapsed)
+                written = spark.read.parquet(paths.postings).where(
+                    F.col("shard").isin(wave_shards)
+                )
+                metrics = written.groupBy("shard").agg(
+                    F.countDistinct("term").alias("n_terms"),
+                    F.sum("n_docs").alias("n_postings"),
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.octet_length("deltas")).alias("deltas_bytes"),
+                    F.sum(F.octet_length("tfs")).alias("tfs_bytes"),
+                ).select(
+                    F.lit(ckpt["build_id"]).alias("build_id"),
+                    F.lit(wi // wave_size).alias("wave"),
+                    "shard",
+                    "n_terms",
+                    "n_postings",
+                    "n_blocks",
+                    "deltas_bytes",
+                    "tfs_bytes",
+                    F.lit(elapsed).alias("elapsed_sec"),
+                )
+                metrics.write.mode("append").parquet(paths.metrics)
+
+                done.update(wave_shards)
+                ckpt["done_shards"] = sorted(done)
+                _write_checkpoint(paths, ckpt)
+                if fail_after_wave is not None and (wi // wave_size) + 1 >= fail_after_wave:
+                    raise RuntimeError(f"injected failure after wave {wi // wave_size}")
+
+        return load_index(spark, out_dir)
+    finally:
+        # release the cross-phase tokenization cache even when a wave fails
+        # (kill-and-resume test path) -- a long-lived session that catches the
+        # error must not keep the full corpus tokenization pinned
+        if dt_cached is not None:
+            dt_cached.unpersist()
 
 
 @dataclass
