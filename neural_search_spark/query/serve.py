@@ -21,7 +21,11 @@ Deployment shape at scale:
     cached (docs_per_shard x 4 bytes — bounded, shard-granular);
   * posting bytes are fetched on demand; hot terms ride the OS page cache /
     object-store CDN. A query touches O(|q| x df/block_size) blocks, never a
-    full scan — the latency is decode + score of the query terms' postings.
+    full scan — the latency is decode + score of the query terms' postings;
+  * optionally, a ``TtlLruCache`` (query/cache.py, the reference's
+    ``utils/cache.py`` analog) caches decoded per-term posting arrays and
+    whole search results, keyed by the index snapshot token so a maintenance
+    commit + ``refresh()`` invalidates immediately.
 
 This closes the serving story without a cluster in the loop: Spark owns
 build/maintenance/batch analytics; serving needs only the parquet files.
@@ -29,12 +33,14 @@ build/maintenance/batch analytics; serving needs only the parquet files.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass, field
 
 import numpy as np
 
 from ..functions.tokenize import tokenize_py
+from .cache import TtlLruCache
 
 
 @dataclass
@@ -45,9 +51,11 @@ class _ShardState:
 @dataclass
 class IndexReader:
     root: str
+    cache: TtlLruCache | None = None
     stats: dict = field(init=False)
     idf: dict = field(init=False)
     docs_per_shard: int = field(init=False)
+    snapshot: str = field(init=False, default="")
     _shards: dict = field(init=False, default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -58,9 +66,19 @@ class IndexReader:
     def refresh(self) -> None:
         """(Re)load stats + term dictionary; drop cached shard state.
 
-        Call after a maintenance commit to serve the new snapshot."""
+        Call after a maintenance commit to serve the new snapshot. The
+        snapshot token (md5 of the checkpoint manifest, whose atomic rename
+        is the index's commit point — index/build.py:_write_checkpoint)
+        scopes every cache key, so entries for the previous snapshot can
+        never be served again; they age out of the LRU."""
         import pyarrow.parquet as pq
 
+        ckpt = os.path.join(self.root, "_checkpoint.json")
+        if os.path.exists(ckpt):
+            with open(ckpt, "rb") as f:
+                self.snapshot = hashlib.md5(f.read()).hexdigest()
+        else:
+            self.snapshot = ""
         srow = pq.read_table(os.path.join(self.root, "corpus_stats")).to_pylist()[0]
         self.stats = srow
         self.docs_per_shard = int(srow["docs_per_shard"])
@@ -88,6 +106,63 @@ class IndexReader:
             self._shards[shard] = st
         return st
 
+    def _postings_for(self, terms: list[str]) -> dict:
+        """term -> [(shard, doc_ids, tfs)] (shards ascending), decoded.
+
+        Reads only the missing terms' blocks (pyarrow filter pushdown: the
+        ``term IN (...)`` predicate prunes shard files / row groups whose
+        term-range statistics can't match) and decodes with the shared
+        codec; terms already in the cache skip both the read and the decode.
+        """
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..index.codec import decode_ints
+
+        out: dict = {}
+        missing: list[str] = []
+        for t in terms:
+            if self.cache is not None:
+                hit = self.cache.get(TtlLruCache.make_postings_key(t, self.snapshot))
+                if hit is not None:
+                    out[t] = hit
+                    continue
+            missing.append(t)
+        if not missing:
+            return out
+
+        span = self.docs_per_shard
+        table = pq.read_table(
+            os.path.join(self.root, "postings"),
+            columns=[
+                "shard", "term", "block_id", "first_doc_id", "n_docs", "deltas", "tfs",
+            ],
+            filters=pc.field("term").isin(missing),
+        )
+        by_key: dict = {}
+        for r in table.to_pylist():
+            by_key.setdefault((r["term"], int(r["shard"])), []).append(r)
+        per_term: dict = {t: [] for t in missing}
+        for (term, shard), blocks in sorted(by_key.items()):
+            blocks.sort(key=lambda x: int(x["block_id"]))
+            prev = shard * span
+            ids_parts, tfs_parts = [], []
+            for blk in blocks:
+                n = int(blk["n_docs"])
+                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
+                ids = np.cumsum(deltas) + prev
+                prev = int(ids[-1])
+                ids_parts.append(ids)
+                tfs_parts.append(decode_ints(bytes(blk["tfs"]), n).astype(np.float64))
+            per_term[term].append(
+                (shard, np.concatenate(ids_parts), np.concatenate(tfs_parts))
+            )
+        for t in missing:
+            out[t] = per_term[t]
+            if self.cache is not None:
+                self.cache.set(TtlLruCache.make_postings_key(t, self.snapshot), out[t])
+        return out
+
     # -- querying -----------------------------------------------------------
 
     def query(
@@ -95,16 +170,18 @@ class IndexReader:
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
 
-        Reads only the query terms' posting blocks (pyarrow filter pushdown:
-        the ``term IN (...)`` predicate prunes shard files / row groups whose
-        term-range statistics can't match), decodes with the shared codec,
-        and scores each touched doc exactly — identical semantics to
-        ``bm25_topk_wand(positive_only=...)`` for a single query.
+        Identical semantics to ``bm25_topk_wand(positive_only=...)`` for a
+        single query. With a ``cache`` attached, a repeated query string is
+        a whole-result hit and a repeated query *term* skips the posting
+        read + decode; both are snapshot-scoped (see ``refresh``).
         """
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        from ..index.codec import decode_ints
+        if self.cache is not None:
+            skey = TtlLruCache.make_search_key(
+                text, top_k, positive_only, self.snapshot
+            )
+            hit = self.cache.get(skey)
+            if hit is not None:
+                return hit
 
         counts: dict[str, int] = {}
         for t in tokenize_py(text):
@@ -114,45 +191,34 @@ class IndexReader:
             for t, c in counts.items()
             if t in self.idf and (self.idf[t] != 0.0 or not positive_only)
         }
-        if not qterms:
-            return []
+        result = self._score(qterms, top_k, positive_only) if qterms else []
+        if self.cache is not None:
+            self.cache.set(skey, result)
+        return result
 
+    def _score(
+        self, qterms: dict, top_k: int, positive_only: bool
+    ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
         span = self.docs_per_shard
+        postings = self._postings_for(sorted(qterms))
 
-        table = pq.read_table(
-            os.path.join(self.root, "postings"),
-            columns=[
-                "shard", "term", "block_id", "first_doc_id", "n_docs", "deltas", "tfs",
-            ],
-            filters=pc.field("term").isin(list(qterms)),
-        )
-        rows = table.to_pylist()
-        # accumulate per-shard dense score arrays (shards touched by >=1 term)
+        # accumulate per-shard dense score arrays (shards touched by >=1
+        # term); iteration order is sorted (term, shard) — deterministic and
+        # independent of which terms came from the cache
         acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        by_key: dict[tuple[int, str], list[dict]] = {}
-        for r in rows:
-            by_key.setdefault((int(r["shard"]), r["term"]), []).append(r)
-        for (shard, term), blocks in by_key.items():
+        for term in sorted(qterms):
             qtf, idf = qterms[term]
-            base = shard * span
-            st = self._shard_state(shard)
-            if shard not in acc:
-                acc[shard] = (
-                    np.zeros(span, dtype=np.float64),
-                    np.zeros(span, dtype=bool),
-                )
-            scores, touched = acc[shard]
-            blocks.sort(key=lambda x: int(x["block_id"]))
-            prev = base
-            for blk in blocks:
-                n = int(blk["n_docs"])
-                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
-                ids = np.cumsum(deltas) + prev
-                prev = int(ids[-1])
-                tfs = decode_ints(bytes(blk["tfs"]), n).astype(np.float64)
-                loc = ids - base
+            for shard, ids, tfs in postings[term]:
+                st = self._shard_state(shard)
+                if shard not in acc:
+                    acc[shard] = (
+                        np.zeros(span, dtype=np.float64),
+                        np.zeros(span, dtype=bool),
+                    )
+                scores, touched = acc[shard]
+                loc = ids - shard * span
                 denom = tfs + k1 * (1.0 - b + b * st.doc_len[loc] / avgdl)
                 scores[loc] += qtf * idf * (tfs * (k1 + 1.0) / denom)
                 touched[loc] = True
@@ -171,8 +237,7 @@ class IndexReader:
             return []
         ids = np.concatenate(out_ids)
         scores = np.concatenate(out_scores)
+        sel = np.lexsort((ids, -scores))
         if ids.size > top_k:
-            sel = np.lexsort((ids, -scores))[:top_k]
-        else:
-            sel = np.lexsort((ids, -scores))
+            sel = sel[:top_k]
         return [(int(ids[i]), float(scores[i])) for i in sel]

@@ -1,0 +1,157 @@
+"""TtlLruCache (query/cache.py) + cached IndexReader behavior.
+
+Reference parity target: ``src/neural_search/utils/cache.py`` get/set/
+delete/exists + TTL + key builders; plus the Spark-native upgrades — LRU
+bound, snapshot-scoped invalidation on maintenance commits, and per-term
+posting caching that must be result-invisible (cached == uncached answers).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from neural_search_spark.config import IndexLayout
+from neural_search_spark.corpus import write_corpus_parquet
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query.cache import TtlLruCache
+from neural_search_spark.query.serve import IndexReader
+
+
+class FakeClock:
+    def __init__(self) -> None:
+        self.now = 1000.0
+
+    def __call__(self) -> float:
+        return self.now
+
+
+# -- unit: the cache itself -------------------------------------------------
+
+
+def test_get_set_delete_exists():
+    c = TtlLruCache(max_entries=8, ttl=60, clock=FakeClock())
+    assert c.get("k") is None
+    c.set("k", {"v": 1})
+    assert c.get("k") == {"v": 1}
+    assert c.exists("k")
+    assert c.delete("k")
+    assert not c.exists("k")
+    assert not c.delete("k")
+    assert c.stats.hits == 1 and c.stats.misses == 1
+
+
+def test_ttl_expiry_uses_clock():
+    clk = FakeClock()
+    c = TtlLruCache(max_entries=8, ttl=60, clock=clk)
+    c.set("k", "v")
+    clk.now += 59.9
+    assert c.get("k") == "v"
+    clk.now += 0.2
+    assert c.get("k") is None
+    assert c.stats.expirations == 1
+    # per-entry ttl override beats the default
+    c.set("short", "v", ttl=5)
+    clk.now += 6
+    assert not c.exists("short")
+
+
+def test_lru_eviction_order():
+    c = TtlLruCache(max_entries=3, ttl=60, clock=FakeClock())
+    for k in ("a", "b", "c"):
+        c.set(k, k)
+    c.get("a")  # refresh a -> b is now oldest
+    c.set("d", "d")
+    assert not c.exists("b")
+    assert c.exists("a") and c.exists("c") and c.exists("d")
+    assert c.stats.evictions == 1
+    assert len(c) == 3
+
+
+def test_search_key_includes_filters_and_snapshot():
+    k1 = TtlLruCache.make_search_key("q", 10, True, "snapA", {"lang": "en"})
+    k2 = TtlLruCache.make_search_key("q", 10, True, "snapA", {"lang": "de"})
+    k3 = TtlLruCache.make_search_key("q", 10, True, "snapB", {"lang": "en"})
+    assert len({k1, k2, k3}) == 3
+    # dict ordering must not matter (reference sorts keys, cache.py:182)
+    assert TtlLruCache.make_search_key(
+        "q", 10, True, "s", {"a": 1, "b": 2}
+    ) == TtlLruCache.make_search_key("q", 10, True, "s", {"b": 2, "a": 1})
+
+
+# -- integration: cached reader ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_cache")
+    corpus_path = str(root / "corpus")
+    write_corpus_parquet(spark, corpus_path, n_docs=300)
+    corpus = spark.read.parquet(corpus_path).select("url", "text")
+    out_dir = str(root / "idx")
+    build_index(
+        corpus, out_dir,
+        layout=IndexLayout(docs_per_shard=64, block_size=16), n_buckets=8,
+    )
+    return out_dir
+
+
+QUERIES = ["w0005 w0010", "w0001", "w0000 w0002 w0007", "nosuchterm w0003"]
+
+
+@pytest.mark.parametrize("positive_only", [True, False])
+def test_cached_reader_is_result_invisible(idx_dir, positive_only):
+    plain = IndexReader(idx_dir)
+    cached = IndexReader(idx_dir, cache=TtlLruCache(clock=FakeClock()))
+    for text in QUERIES:
+        expect = plain.query(text, top_k=12, positive_only=positive_only)
+        assert cached.query(text, top_k=12, positive_only=positive_only) == expect
+        # second call: whole-result hit, still identical
+        assert cached.query(text, top_k=12, positive_only=positive_only) == expect
+
+
+def test_term_cache_hit_path(idx_dir):
+    cache = TtlLruCache(clock=FakeClock())
+    reader = IndexReader(idx_dir, cache=cache)
+    r1 = reader.query("w0005 w0010", top_k=10)
+    h0 = cache.stats.hits
+    # different query STRING sharing a term: result-key misses, the shared
+    # term's postings hit; answers must still be exact
+    r2 = reader.query("w0005", top_k=10)
+    assert cache.stats.hits > h0
+    plain = IndexReader(idx_dir)
+    assert r1 == plain.query("w0005 w0010", top_k=10)
+    assert r2 == plain.query("w0005", top_k=10)
+
+
+def test_refresh_after_maintenance_invalidates(spark, tmp_path):
+    from neural_search_spark.index.maintenance import add_documents
+
+    corpus_path = str(tmp_path / "corpus")
+    write_corpus_parquet(spark, corpus_path, n_docs=120)
+    base = spark.read.parquet(corpus_path).select("url", "text")
+    out_dir = str(tmp_path / "idx")
+    build_index(
+        base, out_dir,
+        layout=IndexLayout(docs_per_shard=64, block_size=16), n_buckets=8,
+    )
+    cache = TtlLruCache(clock=FakeClock())  # TTL never advances: only the
+    reader = IndexReader(out_dir, cache=cache)  # snapshot token can invalidate
+    before = reader.query("w0005", top_k=5)
+    assert reader.query("freshterm") == []
+    old_snapshot = reader.snapshot
+
+    new_docs = spark.createDataFrame(
+        [("zzz://new/1", "freshterm freshterm w0005")], "url string, text string"
+    )
+    add_documents(base.unionByName(new_docs), out_dir, new_docs)
+    reader.refresh()
+    assert reader.snapshot != old_snapshot
+
+    got = reader.query("freshterm", top_k=5)
+    assert len(got) == 1 and got[0][0] == 120
+    # the w0005 postings changed (new doc contains it); the cached pre-commit
+    # arrays must not be reused — compare against an uncached fresh reader
+    plain = IndexReader(out_dir)
+    after = reader.query("w0005", top_k=5)
+    assert after == plain.query("w0005", top_k=5)
+    assert after != before or [d for d, _ in before] == [d for d, _ in after]
