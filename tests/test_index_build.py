@@ -260,3 +260,26 @@ def test_single_doc_corpus(spark, tmp_path):
     # can match the single doc
     assert {r["doc_id"] for r in res} == {0}
     assert len(res) > 0
+
+
+def test_fresh_build_tokenizes_once(spark, corpus_small, tmp_path, monkeypatch):
+    """Phase 2 reuses phase 1's persisted tokenization in a single-call build.
+
+    The cross-phase persist (build.py) exists so the pandas-UDF tokenize —
+    the priciest build stage — runs once, not once per phase; this pins the
+    behavior by counting doc_terms invocations inside build_index."""
+    import neural_search_spark.index.build as build_mod
+
+    calls = {"n": 0}
+    real = build_mod.doc_terms
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(build_mod, "doc_terms", counting)
+    idx = build_index(
+        corpus_small, str(tmp_path / "once"), layout=LAYOUT, n_buckets=8, waves=4
+    )
+    assert calls["n"] == 1
+    assert idx.postings.count() > 0
