@@ -14,8 +14,14 @@ or, since ``-m`` needs the file on the driver, the equivalent thin launcher:
     spark-submit --py-files nss.zip cli.py batch-query --index <dir> --queries <parquet> --out <parquet>
     spark-submit --py-files nss.zip cli.py stream-ingest --input <dir> --output <dir> --checkpoint <dir>
 
+``serve`` is the one subcommand that needs NO Spark at all (IndexReader +
+pyarrow only — run it with plain ``python cli.py serve ...`` on a serving
+replica): queries on stdin, one JSON result line each, millisecond warm
+latency, TTL+LRU caching on by default.
+
 Replaces the reference's FastAPI/Celery surface (SURVEY.md §3): documents in
 = ``build``/``add``/``stream-ingest``; search = ``query``/``batch-query``;
+interactive search = ``serve`` (api/main.py analog);
 job progress = the _metrics lineage table + checkpoint manifest.
 """
 
@@ -134,6 +140,50 @@ def cmd_batch_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serving loop: query lines on stdin -> one JSON result line each.
+
+    The reference's API tier (``api/main.py`` + ``api/search.py``) as a
+    library process: no Spark session, no HTTP — an IndexReader over the
+    parquet index plus the TTL+LRU cache (query/cache.py). ``:refresh`` on
+    stdin picks up a maintenance commit (the API analog of the reference
+    re-opening its store). One process per serving replica; scale-out is
+    N identical stateless processes behind any front end."""
+    import time
+
+    from .query.cache import TtlLruCache
+    from .query.serve import IndexReader
+
+    cache = (
+        TtlLruCache(max_entries=args.cache_entries, ttl=args.cache_ttl)
+        if args.cache_entries > 0
+        else None
+    )
+    reader = IndexReader(args.index, cache=cache)
+    for line in sys.stdin:
+        text = line.strip()
+        if not text:
+            continue
+        if text == ":refresh":
+            reader.refresh()
+            print(json.dumps({"refreshed": True, "snapshot": reader.snapshot}), flush=True)
+            continue
+        t0 = time.perf_counter()
+        hits = reader.query(text, top_k=args.top_k, positive_only=not args.match_all)
+        ms = (time.perf_counter() - t0) * 1000
+        print(
+            json.dumps(
+                {
+                    "query": text,
+                    "latency_ms": round(ms, 3),
+                    "hits": [{"doc_id": d, "score": s} for d, s in hits],
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     from .streaming.ingest import stream_corpus, stream_index_corpus
 
@@ -195,6 +245,14 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("--out", required=True)
     bq.add_argument("--match-all", action="store_true")
     bq.set_defaults(fn=cmd_batch_query)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--top-k", type=int, default=10)
+    sv.add_argument("--match-all", action="store_true")
+    sv.add_argument("--cache-entries", type=int, default=4096, help="0 disables caching")
+    sv.add_argument("--cache-ttl", type=float, default=3600.0)
+    sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("stream-ingest")
     s.add_argument("--input", required=True)

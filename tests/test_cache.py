@@ -155,3 +155,26 @@ def test_refresh_after_maintenance_invalidates(spark, tmp_path):
     after = reader.query("w0005", top_k=5)
     assert after == plain.query("w0005", top_k=5)
     assert after != before or [d for d, _ in before] == [d for d, _ in after]
+
+
+def test_cli_serve_loop(idx_dir):
+    """`cli.py serve` answers stdin queries as JSON lines, no Spark session."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "5"],
+        input="w0005 w0010\n:refresh\nw0005 w0010\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert len(lines) == 3
+    assert lines[1]["refreshed"] is True
+    expect = IndexReader(idx_dir).query("w0005 w0010", top_k=5)
+    for res in (lines[0], lines[2]):
+        got = [(h["doc_id"], h["score"]) for h in res["hits"]]
+        assert got == expect
+        assert res["latency_ms"] < 5000
