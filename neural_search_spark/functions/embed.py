@@ -160,3 +160,31 @@ def hash_embed_sql_ctes(src: str, key: str, prefix: str, dim: int = EMBED_DIM) -
   FROM {prefix}_raw
 )
 """
+
+
+def hash_embed_py(text: str, dim: int = EMBED_DIM) -> "list[float]":
+    """Pure-Python twin of ``hash_embedding`` for the serving replica.
+
+    Bit-identical to the Spark expression chain above (asserted in
+    tests/test_serve_hybrid.py): same md5 nibble bucket/sign, exact int
+    bucket sums, and the same left-to-right float arithmetic for the norm
+    and the divide. ``\\w`` is matched ASCII-only to agree with the Java
+    regex default used by ``regexp_extract_all``.
+    """
+    import hashlib
+    import math
+    import re
+
+    raw = [0] * dim
+    for t in re.findall(r"\w+", text.lower(), flags=re.ASCII):
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        b = int(h[0], 16)
+        if b < dim:
+            raw[b] += 1 if int(h[1], 16) >= 8 else -1
+    acc = 0.0
+    for v in raw:  # left-to-right, matching F.aggregate
+        acc += float(v * v)
+    n = math.sqrt(acc)
+    if n > 0:
+        return [float(v) / n for v in raw]
+    return [0.0] * dim

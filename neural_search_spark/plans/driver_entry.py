@@ -325,6 +325,41 @@ def q_bm25_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid serving replica under the oracle: physical index +
+    embeddings parquet on disk, ``HybridReader`` per query (NO Spark job —
+    pyarrow + numpy only), hash-matched against the same SQL oracle as
+    ``search_orchestrated``. This is the reference's default API search
+    (hybrid, api/search.py:21-135) as a stateless replica would serve it."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.serve import IndexReader, round_half_up
+    from ..query.serve_hybrid import DenseReader, HybridReader, write_doc_embeddings
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_hserve_")
+    build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+    )
+    emb_dir = tempfile.mkdtemp(prefix="nss_entry_hemb_")
+    write_doc_embeddings(docs, emb_dir)
+    reader = HybridReader(sparse=IndexReader(out_dir), dense=DenseReader(emb_dir))
+    rows = []
+    for qid, text, _k in ENTRY_QUERIES_RARE:
+        for rank, doc_id, score in reader.search(
+            text, top_k=_SO_TOP_K, alpha=0.5, score_rounding=4, dense_rounding=6
+        ):
+            rows.append((qid, rank, doc_id, float(round_half_up([score], 6)[0])))
+    return spark.createDataFrame(
+        rows, "query_id long, rank long, doc_id long, score double"
+    )
+
+
 # --- maintenance equivalence (I2/I3 under the oracle) ------------------------
 # build a url-keyed index, add_documents (5 'addmark' clones), then
 # remove_documents (10 urls); the maintained index's WAND top-k must equal a
@@ -1012,6 +1047,7 @@ def base_queries() -> dict:
         "bm25_topk_all": q_bm25_topk_all,
         "maintenance_equivalence": q_maintenance_equivalence,
         "search_orchestrated": q_search_orchestrated,
+        "search_served": q_search_served,
         "search_reranked": q_search_reranked,
         "corpus_stats": q_corpus_stats,
         "term_stats": q_term_stats,
@@ -1033,6 +1069,7 @@ def base_oracles() -> dict:
         "bm25_topk_all": SQL_BM25_TOPK_ALL,
         "maintenance_equivalence": SQL_MAINTENANCE_EQUIVALENCE,
         "search_orchestrated": SQL_SEARCH_ORCHESTRATED,
+        "search_served": SQL_SEARCH_ORCHESTRATED,  # replica must agree with the cluster plan
         "search_reranked": SQL_SEARCH_RERANKED,
         "corpus_stats": SQL_CORPUS_STATS,
         "term_stats": SQL_TERM_STATS,

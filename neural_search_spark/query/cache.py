@@ -108,9 +108,13 @@ class TtlLruCache:
         positive_only: bool,
         snapshot: str,
         filters: dict | None = None,
+        score_rounding: int | None = None,
     ) -> str:
         filters_str = json.dumps(filters, sort_keys=True) if filters else ""
-        return f"search:{snapshot}:{query}:{top_k}:{positive_only}:{filters_str}"
+        return (
+            f"search:{snapshot}:{query}:{top_k}:{positive_only}:"
+            f"{score_rounding}:{filters_str}"
+        )
 
     @staticmethod
     def make_postings_key(term: str, snapshot: str) -> str:

@@ -43,6 +43,24 @@ from ..functions.tokenize import tokenize_py
 from .cache import TtlLruCache
 
 
+def round_half_up(values: np.ndarray, digits: int) -> np.ndarray:
+    """Element-wise HALF_UP decimal rounding, identical to Spark's ``F.round``.
+
+    Spark rounds via ``BigDecimal.valueOf(double)`` (shortest decimal
+    representation) with HALF_UP; ``Decimal(repr(x))`` is the same shortest
+    representation, so quantizing it HALF_UP reproduces Spark bit-for-bit —
+    numpy's ``round`` (half-to-even on binary floats) does not. Used only in
+    engine-equivalence mode (``score_rounding``), not in the raw hot path.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return np.array(
+        [float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)) for v in values],
+        dtype=np.float64,
+    )
+
+
 @dataclass
 class _ShardState:
     doc_len: np.ndarray  # dense doc_len array indexed by local doc id
@@ -166,7 +184,11 @@ class IndexReader:
     # -- querying -----------------------------------------------------------
 
     def query(
-        self, text: str, top_k: int = 10, positive_only: bool = True
+        self,
+        text: str,
+        top_k: int = 10,
+        positive_only: bool = True,
+        score_rounding: int | None = None,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
 
@@ -174,10 +196,16 @@ class IndexReader:
         single query. With a ``cache`` attached, a repeated query string is
         a whole-result hit and a repeated query *term* skips the posting
         read + decode; both are snapshot-scoped (see ``refresh``).
+
+        ``score_rounding`` mirrors ``SearchEngine.search(score_rounding=)``:
+        the positive cut stays on raw scores, then scores are HALF_UP
+        rounded BEFORE the rank cut, so rank boundaries agree bit-for-bit
+        with the cluster engine (and its DuckDB oracle) in equivalence mode.
         """
         if self.cache is not None:
             skey = TtlLruCache.make_search_key(
-                text, top_k, positive_only, self.snapshot
+                text, top_k, positive_only, self.snapshot,
+                score_rounding=score_rounding,
             )
             hit = self.cache.get(skey)
             if hit is not None:
@@ -191,13 +219,21 @@ class IndexReader:
             for t, c in counts.items()
             if t in self.idf and (self.idf[t] != 0.0 or not positive_only)
         }
-        result = self._score(qterms, top_k, positive_only) if qterms else []
+        result = (
+            self._score(qterms, top_k, positive_only, score_rounding)
+            if qterms
+            else []
+        )
         if self.cache is not None:
             self.cache.set(skey, result)
         return result
 
     def _score(
-        self, qterms: dict, top_k: int, positive_only: bool
+        self,
+        qterms: dict,
+        top_k: int,
+        positive_only: bool,
+        score_rounding: int | None = None,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
@@ -237,6 +273,8 @@ class IndexReader:
             return []
         ids = np.concatenate(out_ids)
         scores = np.concatenate(out_scores)
+        if score_rounding is not None:
+            scores = round_half_up(scores, score_rounding)
         sel = np.lexsort((ids, -scores))
         if ids.size > top_k:
             sel = sel[:top_k]
