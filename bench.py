@@ -281,6 +281,16 @@ def run_scale_point(
     state can't leak between the local[8] and local[32] measurements."""
     import subprocess
 
+    # warm the corpus into the page cache before timing: this VM's cold-read
+    # variance (±20% run-to-run) otherwise swamps the scaling signal, and the
+    # north-rule criterion is COMPUTE scaling of the same job, not which run
+    # happened to find the parquet pages resident
+    for root, _dirs, files in os.walk(corpus_path):
+        for fname in files:
+            with open(os.path.join(root, fname), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
     repo = os.path.dirname(os.path.abspath(__file__))
     pyzip = os.path.join(tempfile.gettempdir(), "nss_bench_pkg.zip")
     # always rebuild: a cached zip from an older source tree silently mixes
