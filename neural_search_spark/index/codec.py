@@ -106,10 +106,51 @@ def unpack_bits(buf: bytes, width: int, count: int) -> np.ndarray:
 #   scheme 0 = LEB128 varint (sparse-friendly: rare big gaps stay cheap)
 #   scheme 1 = fixed-width bit-packing, width in the second byte (dense-
 #              friendly: 128 small deltas at 4 bits beat 128 varint bytes)
-# The encoder picks whichever is smaller for the block — the per-block
+#   scheme 2 = patched bit-packing (PForDelta): low ``width`` bits of every
+#              value packed densely; the few values that overflow ``width``
+#              store their high bits as varint exceptions. Wins exactly where
+#              0 and 1 both lose — a block of tiny gaps with a handful of
+#              outliers (e.g. a large first-delta against the shard base, or
+#              one doc-id jump across a deleted range): scheme 1 must widen
+#              EVERY slot to the outlier's width, scheme 0 pays >=1 byte per
+#              tiny value; scheme 2 pays neither.
+# The encoder picks whichever is smallest for the block — the per-block
 # scheme choice is the practical core of PForDelta-family codecs.
 _SCHEME_VARINT = 0
 _SCHEME_PACKED = 1
+_SCHEME_PATCHED = 2
+
+
+def _pfor_encode(v: np.ndarray, width: int) -> bytes:
+    """scheme-2 payload for a fixed low-bit width:
+    [width u8][exc_len u16 LE][varint: n_exc, exc_positions (delta), exc_highs]
+    [packed low bits].  Positions are gap-encoded (strictly increasing), highs
+    are ``value >> width`` (>=1 by construction)."""
+    mask = np.uint64((1 << width) - 1)
+    highs = v >> np.uint64(width)
+    pos = np.flatnonzero(highs)
+    exc_stream = np.concatenate(
+        (
+            np.array([pos.size], dtype=np.uint64),
+            np.diff(pos, prepend=0).astype(np.uint64),
+            highs[pos],
+        )
+    )
+    exc = varint_encode(exc_stream)
+    packed = pack_bits(v & mask, width)
+    return bytes([width]) + len(exc).to_bytes(2, "little") + exc + packed
+
+
+def _pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    width = buf[0]
+    exc_len = int.from_bytes(buf[1:3], "little")
+    exc = varint_decode(buf[3 : 3 + exc_len])
+    out = unpack_bits(buf[3 + exc_len :], width, count)
+    n_exc = int(exc[0])
+    if n_exc:
+        pos = np.cumsum(exc[1 : 1 + n_exc].astype(np.int64))
+        out[pos] |= exc[1 + n_exc :] << np.uint64(width)
+    return out
 
 
 def encode_ints(values: np.ndarray) -> bytes:
@@ -117,12 +158,26 @@ def encode_ints(values: np.ndarray) -> bytes:
     var = varint_encode(v)
     if v.size == 0:
         return bytes([_SCHEME_VARINT]) + var
-    width = max(1, int(v.max()).bit_length())
-    if width <= 56:
-        packed = pack_bits(v, width)
-        if 1 + len(packed) < len(var):
-            return bytes([_SCHEME_PACKED, width]) + packed
-    return bytes([_SCHEME_VARINT]) + var
+    best = bytes([_SCHEME_VARINT]) + var
+    max_width = max(1, int(v.max()).bit_length())
+    if max_width <= 56:
+        packed = pack_bits(v, max_width)
+        if 2 + len(packed) < len(best):
+            best = bytes([_SCHEME_PACKED, max_width]) + packed
+        # patched candidates: low widths covering the 50th/75th/90th
+        # percentile values — exceptions absorb the tail
+        if v.size >= 4:
+            widths = {
+                max(1, int(np.partition(v, k)[k]).bit_length())
+                for k in (v.size // 2, (3 * v.size) // 4, (9 * v.size) // 10)
+            }
+            for w in widths:
+                if w >= max_width:
+                    continue
+                cand = _pfor_encode(v, w)
+                if 1 + len(cand) < len(best):
+                    best = bytes([_SCHEME_PATCHED]) + cand
+    return best
 
 
 def decode_ints(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -130,8 +185,10 @@ def decode_ints(buf: bytes, count: int | None = None) -> np.ndarray:
     scheme = buf[0]
     if scheme == _SCHEME_VARINT:
         return varint_decode(buf[1:], count)
+    assert count is not None, "packed/patched schemes require the element count"
+    if scheme == _SCHEME_PATCHED:
+        return _pfor_decode(buf[1:], count)
     width = buf[1]
-    assert count is not None, "packed scheme requires the element count"
     return unpack_bits(buf[2:], width, count)
 
 

@@ -118,3 +118,36 @@ def test_encode_ints_picks_smaller_scheme():
     b2 = encode_ints(sparse)
     assert b2[0] == 0
     assert (decode_ints(b2, 4) == sparse).all()
+
+
+def test_patched_pfor_wins_on_outlier_blocks():
+    from neural_search_spark.index.codec import decode_ints, encode_ints, pack_bits, varint_encode
+
+    # the PFor sweet spot: a block of tiny gaps with a few large outliers —
+    # fixed-width must widen every slot, varint pays a byte per tiny value
+    rng = np.random.default_rng(11)
+    v = np.concatenate(
+        [rng.integers(1, 8, 120), rng.integers(2**20, 2**30, 8)]
+    ).astype(np.uint64)
+    b = encode_ints(v)
+    assert b[0] == 2, "patched scheme should win this block shape"
+    assert (decode_ints(b, len(v)) == v).all()
+    assert len(b) < 1 + len(varint_encode(v))
+    assert len(b) < 2 + len(pack_bits(v, int(v.max()).bit_length()))
+    # a large first delta against the shard base (block 0 of a late shard)
+    first = np.concatenate([[2**34], rng.integers(1, 4, 127)]).astype(np.uint64)
+    bf = encode_ints(first)
+    assert bf[0] == 2
+    assert (decode_ints(bf, 128) == first).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**12), min_size=4, max_size=300),
+    st.lists(st.integers(min_value=2**30, max_value=2**55), min_size=1, max_size=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_patched_pfor_roundtrip_property(small, outliers):
+    from neural_search_spark.index.codec import decode_ints, encode_ints
+
+    arr = np.array(small + outliers, dtype=np.uint64)
+    assert (decode_ints(encode_ints(arr), len(arr)) == arr).all()
