@@ -231,6 +231,7 @@ def ann_lsh_topk(
     n_planes: int = 8,
     probe_hamming: int = 1,
     dim: int | None = None,
+    score_rounding: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -242,8 +243,14 @@ def ann_lsh_topk(
     would be precomputed/persisted in a real deployment, making query-time a
     bucket-pruned scan). Each query probes its bucket and every bucket within
     ``probe_hamming`` bit flips (multi-probe LSH), then scores candidates
-    exactly and takes top-k. Approximate by design — see the recall gate in
-    tests/test_pipeline_ops.py.
+    exactly and takes top-k. "Approximate" means recall only: the candidate
+    set is a deterministic function of the md5-derived hyperplanes, and
+    scoring within it is exact — so the output IS SQL-oracle-checkable
+    (``__spark_entry__`` mirrors the buckets/probes construct-for-construct
+    in DuckDB). ``score_rounding`` rounds the cosine BEFORE ranking so rank
+    boundaries are decided on values both engines agree on bit-for-bit
+    (the cross-engine 1-ulp reconciliation used by every oracle-gated
+    ranking path). Recall-vs-brute gate: tests/test_pipeline_ops.py.
     """
     from pyspark.sql import Window
 
@@ -277,10 +284,13 @@ def ann_lsh_topk(
         ).alias("bucket"),
     )
 
+    raw = cosine_col(F.col("v"), F.col("qv"))
     scored = bucketed.join(F.broadcast(qb), "bucket").select(
         "query_id",
         "vec_id",
-        cosine_col(F.col("v"), F.col("qv")).alias("score"),
+        (F.round(raw, score_rounding) if score_rounding is not None else raw).alias(
+            "score"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (

@@ -353,16 +353,85 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+# sign-LSH ANN: the candidate set (buckets + multi-probe flips) is a
+# deterministic function of the md5-derived hyperplanes and scoring within it
+# is exact, so — unlike IVF, whose iterative float k-means cannot be mirrored
+# in SQL — this path gets a full oracle: DuckDB rebuilds the same planes as
+# literals, the same 6-bit buckets, the same hamming<=2 probe masks, and
+# ranks by the same 6dp-rounded cosine. "Approximate" remains recall-only
+# (gated against brute force in pytest).
+_LSH_PLANES, _LSH_DIM, _LSH_PROBE_H, _LSH_TOPK = 6, 64, 2, 10
+
+
 def q_ann_topk_lsh(spark, sf_dir):
-    # approximate — rows-only in the driver gate; recall gate in pytest
     return SIM.ann_lsh_topk(
         _emb(spark, sf_dir),
         _query_vecs(spark, sf_dir),
-        top_k=10,
-        n_planes=6,
-        probe_hamming=2,
+        top_k=_LSH_TOPK,
+        n_planes=_LSH_PLANES,
+        probe_hamming=_LSH_PROBE_H,
+        dim=_LSH_DIM,
+        score_rounding=6,
         query_vec_col="qv",
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
     )
+
+
+def _ann_lsh_sql() -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_LSH_DIM, _LSH_PLANES)
+    rows = []
+    for p, w in enumerate(planes):
+        lit = "[" + ", ".join(repr(c) for c in w) + "]"
+        rows.append(f"({p}, {lit})")
+    masks = [0] + [1 << p for p in range(_LSH_PLANES)]
+    if _LSH_PROBE_H >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(_LSH_PLANES)
+            for q in range(p + 1, _LSH_PLANES)
+        ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {_LSH_DIM}), "
+        "i -> e.embedding[i]::DOUBLE * pl.w[i]))"
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {", ".join(rows)}),
+masks(m) AS (VALUES {mask_rows}),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN {dot} > 0 THEN (1 << pl.p) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT s.vec_id AS query_id, xor(s.key, m.m) AS bucket
+  FROM sig s CROSS JOIN masks m WHERE s.vec_id < 5
+),
+scored AS (
+  SELECT p.query_id, s.vec_id,
+         round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS score
+  FROM probes p
+  JOIN sig s ON s.key = p.bucket
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= {_LSH_TOPK}
+"""
+
+
+SQL_ANN_TOPK_LSH = _ann_lsh_sql()
 
 
 # --- text analysis -----------------------------------------------------------
@@ -678,6 +747,7 @@ def pipeline_oracles() -> dict:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
+        "ann_topk_lsh": SQL_ANN_TOPK_LSH,
         "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
         "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_LSH,
         "text_token_profile": SQL_TEXT_TOKEN_PROFILE,
@@ -689,8 +759,9 @@ def pipeline_oracles() -> dict:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
-        # ann_topk_lsh, media_decode: intentionally no oracle (approximate /
-        # stubbed) — driver records the weaker rows-only check.
+        # ann_topk_ivf, media_decode: intentionally no oracle (iterative
+        # float k-means / stubbed codecs) — driver records the weaker
+        # rows-only check.
     }
 
 
