@@ -22,7 +22,6 @@ extraction that never touches Python (``media_stats``).
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,10 +44,19 @@ def attach_fake_media(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(media: bytes) -> tuple[int, int, int]:
-    """Deterministic pseudo-decode: dims from a crc of the bytes."""
-    c = zlib.crc32(media)
-    return 16 + c % 1024, 16 + (c >> 10) % 1024, 1 + (c >> 20) % 64
+def _fake_decode_md5(h: str) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: dims from the payload's md5 hex digest.
+
+    md5-derived (not crc) so ANY engine reproduces it — the driver's DuckDB
+    oracle mirrors this arithmetic on the same bytes
+    (``('0x'||substr(md5(..),1,4))::BIGINT``), putting the full decode
+    pipeline shape (Arrow batch in, typed metadata out) under the
+    correctness gate even though the real codec call is stubbed."""
+    return (
+        16 + int(h[0:4], 16) % 1024,
+        16 + int(h[4:8], 16) % 1024,
+        1 + int(h[8:12], 16) % 64,
+    )
 
 
 def decode_media(corpus: DataFrame, decode_stub: str = "fake") -> DataFrame:
@@ -69,15 +77,14 @@ def decode_media(corpus: DataFrame, decode_stub: str = "fake") -> DataFrame:
                     "real media decode requires codec libraries (Pillow/av); "
                     "this container runs the deterministic fake decoder only"
                 )
+            md5s = pdf["media"].map(lambda b: hashlib.md5(b).hexdigest())
             out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "byte_len": pdf["media"].map(len),
-                "content_md5": pdf["media"].map(
-                    lambda b: hashlib.md5(b).hexdigest()
-                ),
+                "content_md5": md5s,
             }
-            dims = pdf["media"].map(_fake_decode)
+            dims = md5s.map(_fake_decode_md5)
             out["width"] = dims.map(lambda t: t[0]).astype("int32")
             out["height"] = dims.map(lambda t: t[1]).astype("int32")
             out["n_frames"] = dims.map(lambda t: t[2]).astype("int32")

@@ -596,9 +596,26 @@ FROM documents
 
 
 def q_media_decode(spark, sf_dir):
-    # stubbed decode — rows-only in the driver gate; determinism in pytest
+    # the decode KERNEL (Arrow batch in, typed metadata out) under the full
+    # oracle: the codec call is a deterministic md5-derived fake (real
+    # Pillow/av libs are absent), but the entire pipeline around it —
+    # binary column, mapInPandas batching, output schema — is the real
+    # integration shape, and DuckDB mirrors the fake's arithmetic exactly
     media = MM.attach_fake_media(_docs(spark, sf_dir))
     return MM.decode_media(media, decode_stub="fake")
+
+
+# width/height/n_frames mirror operators/multimodal.py:_fake_decode_md5 —
+# hex nibbles of md5(utf-8 text bytes), which DuckDB's md5(text) reproduces
+_MD5 = "md5(text)"
+SQL_MEDIA_DECODE = f"""
+SELECT doc_id, 'image/fake' AS media_type, strlen(text)::BIGINT AS byte_len,
+       {_MD5} AS content_md5,
+       (16 + ('0x' || substr({_MD5}, 1, 4))::BIGINT % 1024)::INT AS width,
+       (16 + ('0x' || substr({_MD5}, 5, 4))::BIGINT % 1024)::INT AS height,
+       (1 + ('0x' || substr({_MD5}, 9, 4))::BIGINT % 64)::INT AS n_frames
+FROM documents
+"""
 
 
 # --- events (streaming-shaped agg, batch-verified) ---------------------------
@@ -756,12 +773,13 @@ def pipeline_oracles() -> dict:
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
         "media_stats": SQL_MEDIA_STATS,
+        "media_decode": SQL_MEDIA_DECODE,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
-        # ann_topk_ivf, media_decode: intentionally no oracle (iterative
-        # float k-means / stubbed codecs) — driver records the weaker
-        # rows-only check.
+        # ann_topk_ivf: intentionally no oracle (iterative float k-means
+        # can't be mirrored in SQL) — driver records the weaker rows-only
+        # check; its recall gate lives in pytest.
     }
 
 
