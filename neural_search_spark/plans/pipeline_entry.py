@@ -7,10 +7,10 @@ construct-for-construct (same md5-derived hashing, same floor-divisions,
 same double arithmetic), so the driver's order-insensitive value-hash
 matches bit-for-bit after 6dp rounding.
 
-Operators without an oracle entry (approximate ANN, stubbed media decode)
-are intentionally rows-only in the driver's correctness gate; their
-correctness is pinned by pytest gates (recall-vs-brute-force, kernel
-determinism) instead of SQL equivalence.
+The one operator without an oracle entry (IVF ANN — iterative float
+k-means has no SQL mirror) is intentionally rows-only in the driver's
+correctness gate; its correctness is pinned by a pytest
+recall-vs-brute-force gate instead of SQL equivalence.
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text_analysis as TA
+from ..functions import urls as UR
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
@@ -618,6 +619,102 @@ FROM documents
 """
 
 
+# --- URL analysis --------------------------------------------------------------
+# The driver documents table has no url column, so (like the rare-term
+# augmentation for bm25_topk) both engines synthesize the SAME deterministic
+# url per doc_id — subdomain presence, host, registered domain, and path
+# depth all vary with doc_id so every parse branch is exercised.
+
+
+def _docs_with_urls(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/"),
+            F.col("source"),
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/deep")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_URL_SQL_CTE = """
+u AS (
+  SELECT *,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || 'site' || (doc_id % 37)::VARCHAR || '.example'
+         || (doc_id % 5)::VARCHAR || '.com/' || source || '/p'
+         || doc_id::VARCHAR
+         || CASE WHEN doc_id % 4 = 0 THEN '/deep' ELSE '' END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT *,
+         regexp_extract(url, '{re_host}', 1) AS host,
+         regexp_extract(url, '{re_path}', 1) AS path
+  FROM u
+),
+dom AS (
+  SELECT *,
+         CASE WHEN len(string_split(host, '.')) >= 2
+              THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              ELSE host END AS registered_domain,
+         len(list_filter(string_split(path, '/'), x -> x != '')) AS path_depth
+  FROM parsed
+)
+""".format(re_host=UR.RE_HOST, re_path=UR.RE_PATH)
+
+
+def q_url_host_stats(spark, sf_dir):
+    parsed = UR.url_parse(_docs_with_urls(spark, sf_dir))
+    return UR.host_stats(parsed).select(
+        "domain",
+        F.col("n_docs").cast("long"),
+        F.col("n_hosts").cast("long"),
+        F.col("total_chars").cast("long"),
+        F.round("avg_path_depth", 6).alias("avg_path_depth"),
+    )
+
+
+SQL_URL_HOST_STATS = f"""
+WITH {_URL_SQL_CTE}
+SELECT registered_domain AS domain, count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(path_depth), 6) AS avg_path_depth
+FROM dom GROUP BY 1
+"""
+
+
+def q_url_cap_per_domain(spark, sf_dir):
+    parsed = UR.url_parse(_docs_with_urls(spark, sf_dir))
+    return UR.cap_per_domain(parsed, max_docs=40).select(
+        F.col("doc_id").cast("long"),
+        "registered_domain",
+        F.col("domain_rank").cast("long"),
+    )
+
+
+SQL_URL_CAP_PER_DOMAIN = f"""
+WITH {_URL_SQL_CTE},
+ranked AS (
+  SELECT doc_id, registered_domain,
+         row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id ASC)
+           AS domain_rank
+  FROM dom
+)
+SELECT doc_id, registered_domain, domain_rank FROM ranked WHERE domain_rank <= 40
+"""
+
+
 # --- events (streaming-shaped agg, batch-verified) ---------------------------
 
 
@@ -750,6 +847,8 @@ def pipeline_queries() -> dict:
         "text_repetition": q_text_repetition,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
+        "url_host_stats": q_url_host_stats,
+        "url_cap_per_domain": q_url_cap_per_domain,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
@@ -774,6 +873,8 @@ def pipeline_oracles() -> dict:
         "text_repetition": SQL_TEXT_REPETITION,
         "media_stats": SQL_MEDIA_STATS,
         "media_decode": SQL_MEDIA_DECODE,
+        "url_host_stats": SQL_URL_HOST_STATS,
+        "url_cap_per_domain": SQL_URL_CAP_PER_DOMAIN,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
