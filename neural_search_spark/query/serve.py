@@ -189,6 +189,7 @@ class IndexReader:
         top_k: int = 10,
         positive_only: bool = True,
         score_rounding: int | None = None,
+        allowed_docs=None,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
 
@@ -201,10 +202,31 @@ class IndexReader:
         the positive cut stays on raw scores, then scores are HALF_UP
         rounded BEFORE the rank cut, so rank boundaries agree bit-for-bit
         with the cluster engine (and its DuckDB oracle) in equivalence mode.
+
+        ``allowed_docs`` is the serving leg of metadata filters (the
+        reference's ``filter_conditions``, api/search.py): an iterable/array
+        of doc_ids that may appear in results, applied BEFORE the rank cut
+        (same semantics as ``SearchEngine.search(filters=...)``'s pre-rank
+        semi-join — a filtered search returns the top-k OF the allowed set,
+        not the survivors of an unfiltered top-k). The caller resolves
+        metadata -> ids once (e.g. a cluster job materializes the allowed-id
+        set per filter expression, or a replica-local metadata sidecar);
+        at serve time the filter is one vectorized ``np.isin`` over the
+        already-scored candidates. Cached results are keyed by the id-set
+        digest, so distinct filters never collide.
         """
+        allowed = None
+        if allowed_docs is not None:
+            allowed = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
         if self.cache is not None:
+            fdig = (
+                hashlib.md5(allowed.tobytes()).hexdigest()
+                if allowed is not None
+                else None
+            )
             skey = TtlLruCache.make_search_key(
                 text, top_k, positive_only, self.snapshot,
+                filters={"ids": fdig} if fdig else None,
                 score_rounding=score_rounding,
             )
             hit = self.cache.get(skey)
@@ -220,7 +242,7 @@ class IndexReader:
             if t in self.idf and (self.idf[t] != 0.0 or not positive_only)
         }
         result = (
-            self._score(qterms, top_k, positive_only, score_rounding)
+            self._score(qterms, top_k, positive_only, score_rounding, allowed)
             if qterms
             else []
         )
@@ -234,6 +256,7 @@ class IndexReader:
         top_k: int,
         positive_only: bool,
         score_rounding: int | None = None,
+        allowed: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
@@ -273,6 +296,11 @@ class IndexReader:
             return []
         ids = np.concatenate(out_ids)
         scores = np.concatenate(out_scores)
+        if allowed is not None:
+            keep = np.isin(ids, allowed, assume_unique=False)
+            ids, scores = ids[keep], scores[keep]
+            if ids.size == 0:
+                return []
         if score_rounding is not None:
             scores = round_half_up(scores, score_rounding)
         sel = np.lexsort((ids, -scores))

@@ -88,6 +88,48 @@ def test_reader_refresh_after_maintenance(spark, tmp_path):
     assert len(got) == 1 and got[0][0] == 120  # appended id after max(119)
 
 
+def test_reader_allowed_docs_filter(served):
+    """allowed_docs is a PRE-rank filter: the result is the top-k OF the
+    allowed set (reference filter_conditions semantics), not the allowed
+    survivors of an unfiltered top-k."""
+    _, reader = served
+    full = reader.query("w0005 w0010", top_k=400, positive_only=False)
+    assert len(full) > 12
+    # allow only the BOTTOM half of the unfiltered ranking: a post-filter of
+    # the top-12 would return nothing; the pre-filter returns 12 of them
+    allowed = [d for d, _ in full[len(full) // 2 :]]
+    got = reader.query(
+        "w0005 w0010", top_k=12, positive_only=False, allowed_docs=allowed
+    )
+    assert len(got) == 12
+    assert [d for d, _ in got] == [d for d, _ in full if d in set(allowed)][:12]
+    # scores unchanged by filtering; disjoint filter returns empty
+    by_id = dict(full)
+    assert all(s == by_id[d] for d, s in got)
+    assert reader.query("w0005 w0010", allowed_docs=[10**9]) == []
+
+
+def test_reader_allowed_docs_cache_keying(served):
+    """Distinct filters must not collide in the result cache."""
+    from neural_search_spark.query.cache import TtlLruCache
+    from neural_search_spark.query.serve import IndexReader
+
+    _, base_reader = served
+    reader = IndexReader(base_reader.root, cache=TtlLruCache(max_entries=64))
+    a = reader.query("w0005 w0010", top_k=5, allowed_docs=[d for d in range(50)])
+    b = reader.query("w0005 w0010", top_k=5, allowed_docs=[d for d in range(50, 400)])
+    no_f = reader.query("w0005 w0010", top_k=5)
+    assert a != b
+    assert {d for d, _ in a} <= set(range(50))
+    assert {d for d, _ in b} <= set(range(50, 400))
+    # the filtered-to-low-ids result must differ from the unfiltered one
+    # (the unfiltered top-5 lives above id 50 on this corpus), proving the
+    # unfiltered entry wasn't served for the filtered call
+    assert no_f != a
+    # repeated call is a cache hit with the same answer
+    assert reader.query("w0005 w0010", top_k=5, allowed_docs=list(range(50))) == a
+
+
 def test_reader_latency_ms(served):
     _, reader = served
     reader.query("w0005 w0010", top_k=10)  # warm: caches + page cache
