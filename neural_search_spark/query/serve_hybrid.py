@@ -68,13 +68,16 @@ class DenseReader:
         self.norms = np.sqrt(acc)
 
     def query(
-        self, vec, top_k: int, rounding: int | None = None
+        self, vec, top_k: int, rounding: int | None = None, allowed_docs=None
     ) -> list[tuple[int, float]]:
         """[(doc_id, cosine)] top_k, (score desc, doc_id asc).
 
         ``rounding`` rounds HALF_UP before the cut (the cluster injection
         path rounds dense scores the same way). Zero-norm rows (no tokens)
-        have no defined cosine and are excluded.
+        have no defined cosine and are excluded. ``allowed_docs`` is the
+        metadata-filter leg (the reference's vector store applies filter
+        conditions natively, faiss_store.py): ids outside the set are
+        dropped BEFORE the top-k cut.
         """
         q = np.asarray(vec, dtype=np.float64)
         qacc = 0.0
@@ -88,6 +91,10 @@ class DenseReader:
             cos = dot / (self.norms * qn)
         ok = np.isfinite(cos)
         ids, cos = self.ids[ok], cos[ok]
+        if allowed_docs is not None:
+            allowed = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
+            keep = np.isin(ids, allowed)
+            ids, cos = ids[keep], cos[keep]
         if rounding is not None:
             cos = round_half_up(cos, rounding)
         sel = np.lexsort((ids, -cos))
@@ -131,6 +138,7 @@ class HybridReader:
         alpha: float = HYBRID_ALPHA,
         score_rounding: int | None = None,
         dense_rounding: int | None = 6,
+        allowed_docs=None,
     ) -> list[tuple[int, int, float]]:
         """[(rank, doc_id, fused_score)] — engine.search(hybrid=True) parity.
 
@@ -138,10 +146,17 @@ class HybridReader:
         knobs: the cluster entry rounds sparse contributions to 4 and
         injected dense scores to 6 before any rank boundary; matching them
         here makes replica answers bit-identical to the cluster's.
+
+        ``allowed_docs`` filters BOTH legs before their rank cuts — the
+        reference applies filter conditions inside the vector store and the
+        engine applies them to the sparse scores pre-rank, so the replica
+        matches ``SearchEngine.search(filters=..., dense_results=<filtered>)``
+        exactly (asserted in tests/test_serve_hybrid.py).
         """
         initial_k = initial_k_policy(top_k, hybrid=True, rerank=False)
         dense_hits = self.dense.query(
-            self.embed_fn(text), initial_k, rounding=dense_rounding
+            self.embed_fn(text), initial_k, rounding=dense_rounding,
+            allowed_docs=allowed_docs,
         )
         # sparse k = 2 x dense hits per query (hybrid.py:198); positive-only
         # cut on raw scores, rounding before the rank cut (engine._sparse)
@@ -149,7 +164,7 @@ class HybridReader:
         sparse_hits = (
             self.sparse.query(
                 text, top_k=sparse_k, positive_only=True,
-                score_rounding=score_rounding,
+                score_rounding=score_rounding, allowed_docs=allowed_docs,
             )
             if sparse_k
             else []

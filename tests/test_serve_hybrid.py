@@ -134,6 +134,43 @@ def test_hybrid_reader_matches_engine(spark, stack):
             assert gs == es, (t, gs, es)  # identical arithmetic -> identical floats
 
 
+def test_hybrid_reader_filtered_matches_engine(spark, stack):
+    """allowed_docs == engine filters + a dense injection computed over the
+    allowed set (the reference's vector store filters during search, so the
+    dense top-k is the top-k OF the allowed set on both sides)."""
+    corpus, engine, reader = stack
+    from neural_search_spark.plans.engine import SearchEngine
+
+    metadata = corpus.select("doc_id", (F.col("doc_id") % 3).alias("grp"))
+    engine_f = SearchEngine(
+        doc_terms=engine.doc_terms, terms=engine.terms, stats=engine.stats,
+        metadata=metadata,
+    )
+    allowed = [r["doc_id"] for r in metadata.where("grp = 1").collect()]
+    initial_k = initial_k_policy(TOP_K, hybrid=True, rerank=False)
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(QUERIES)], "query_id int, query_text string"
+    )
+    dense_allowed = _engine_dense(
+        spark, corpus.where(F.col("doc_id") % 3 == 1), qdf, initial_k
+    )
+    res = engine_f.search(
+        qdf, top_k=TOP_K, hybrid=True, alpha=0.5,
+        dense_results=dense_allowed,
+        filters={"grp": {"$eq": 1}},
+        score_rounding=4,
+    )
+    expect: dict[int, list] = {i: [] for i in range(len(QUERIES))}
+    for r in res.orderBy("query_id", "rank").collect():
+        expect[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+    for i, t in enumerate(QUERIES):
+        got = reader.search(
+            t, top_k=TOP_K, alpha=0.5, score_rounding=4, allowed_docs=allowed
+        )
+        assert got == expect[i], t
+        assert all(d % 3 == 1 for _, d, _ in got)
+
+
 def test_hybrid_unknown_sparse_terms_still_dense(stack):
     """A query with no indexed terms degrades to dense-only, like the engine."""
     _, _, reader = stack
