@@ -207,3 +207,79 @@ def repetition_profile(corpus: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(top_share, 6).alias("top_bigram_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (C4 / MassiveText-style)
+# ---------------------------------------------------------------------------
+
+
+def line_doc_counts(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(line, n_docs): distinct documents containing each normalized line.
+
+    The corpus-wide pass behind line-level boilerplate removal (C4 discards
+    repeated 3-sentence spans; MassiveText/RefinedWeb discard lines that
+    recur across documents — cookie banners, nav bars, footers). Lines are
+    ``trim``-normalized; empties dropped. ONE explode + one hash aggregate
+    keyed on the line; map-side partial aggregation collapses the ultra-
+    frequent boilerplate keys before the shuffle, so the mega-key skew is
+    bounded. At 10^12 docs, key on ``md5(line)`` instead of the raw string
+    to cut shuffle width — same plan shape.
+    """
+    lines = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    return (
+        lines.distinct()  # count each doc once per line
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def strip_boilerplate_lines(
+    corpus: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): drop every line that occurs in
+    >= ``min_docs`` distinct documents, preserving the surviving lines'
+    original order.
+
+    Two shuffles total at any scale: the ``line_doc_counts`` aggregate and
+    the per-doc reassembly groupBy. The boilerplate join is keyed on the
+    line; when ``min_docs`` is high the boilerplate set is small enough to
+    broadcast. Documents whose every line is blank are not emitted (there is
+    nothing to clean); the driver entry's corpus has none.
+    """
+    boiler = (
+        line_doc_counts(corpus, text_col, id_col)
+        .where(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    lines = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "raw"),
+        )
+        .select("doc_id", "idx", F.trim(F.col("raw")).alias("line"))
+        .where(F.col("line") != "")
+    )
+    flagged = lines.join(boiler, "line", "left").select(
+        "doc_id", "idx", "line",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    parts = F.array_sort(F.collect_list(F.struct("idx", "line", "is_boiler")))
+    kept = F.filter(parts, lambda x: ~x["is_boiler"])
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws("\n", F.transform(kept, lambda x: x["line"])).alias("clean_text"),
+    )

@@ -619,6 +619,68 @@ FROM documents
 """
 
 
+# --- line-level boilerplate removal -------------------------------------------
+# C4/MassiveText-style: drop lines recurring across >= min_docs documents.
+# The driver corpus is single-line, so (like the rare-term augmentation) both
+# engines synthesize the SAME multi-line view: planted boilerplate lines on
+# doc_id residue classes — cookie banner on 1/5 of docs, newsletter plug on
+# 1/7, copyright footer on 1/11 — each far above the min_docs=3 cut, while
+# every base line is unique and survives.
+_BP_LINES = [
+    (5, "please accept our cookie policy to continue"),
+    (7, "subscribe to our weekly newsletter today"),
+    (11, "copyright 2024 example site all rights reserved"),
+]
+_BP_MIN_DOCS = 3
+
+
+def _docs_multiline(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    for mod, line in _BP_LINES:
+        text = F.concat(
+            text,
+            F.when(F.col("doc_id") % mod == 0, F.lit("\n" + line)).otherwise(
+                F.lit("")
+            ),
+        )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_text_strip_boilerplate(spark, sf_dir):
+    return TA.strip_boilerplate_lines(
+        _docs_multiline(spark, sf_dir), min_docs=_BP_MIN_DOCS
+    ).select(F.col("doc_id").cast("long"), "n_lines", "n_kept", "clean_text")
+
+
+_BP_CASES = " || ".join(
+    f"CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}' ELSE '' END"
+    for mod, line in _BP_LINES
+)
+
+SQL_TEXT_STRIP_BOILERPLATE = f"""
+WITH ml AS (SELECT doc_id, text || {_BP_CASES} AS text FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'idx': i, 'line': trim(parts[i])}}
+                 for i in generate_series(1, len(parts))], recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM ml)
+),
+nz AS (SELECT * FROM lines WHERE line != ''),
+counts AS (SELECT line, count(DISTINCT doc_id) AS n FROM nz GROUP BY line),
+boiler AS (SELECT line FROM counts WHERE n >= {_BP_MIN_DOCS}),
+flagged AS (
+  SELECT nz.doc_id, nz.idx, nz.line, (b.line IS NOT NULL) AS is_b
+  FROM nz LEFT JOIN boiler b ON b.line = nz.line
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY idx),
+                '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 # --- URL analysis --------------------------------------------------------------
 # The driver documents table has no url column, so (like the rare-term
 # augmentation for bm25_topk) both engines synthesize the SAME deterministic
@@ -845,6 +907,7 @@ def pipeline_queries() -> dict:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
+        "text_strip_boilerplate": q_text_strip_boilerplate,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "url_host_stats": q_url_host_stats,
@@ -871,6 +934,7 @@ def pipeline_oracles() -> dict:
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
+        "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
         "media_stats": SQL_MEDIA_STATS,
         "media_decode": SQL_MEDIA_DECODE,
         "url_host_stats": SQL_URL_HOST_STATS,

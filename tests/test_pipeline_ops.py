@@ -448,3 +448,26 @@ def test_repetition_profile_long_doc_linear(spark):
     # every (w_i, w_{i+1}) bigram repeats ~once per 37-token cycle
     assert row["dup_token_ratio"] == pytest.approx((60_000 - 37) / 60_000)
     assert row["top_bigram_share"] == pytest.approx(1 / 37, rel=1e-2)
+
+
+def test_strip_boilerplate_lines(spark):
+    """C4/MassiveText-style line removal: lines recurring in >= min_docs
+    documents vanish; unique lines survive in original order."""
+    boiler = "accept our cookie policy"
+    rows = [
+        (0, f"unique intro zero\n{boiler}\nunique body zero"),
+        (1, f"{boiler}\nunique body one"),
+        (2, f"unique body two\n  {boiler}  "),  # trim-normalized match
+        (3, "all unique here\nno shared lines"),
+        (4, f"{boiler}"),  # nothing but boilerplate -> empty clean_text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = {r["line"]: r["n_docs"] for r in TA.line_doc_counts(df).collect()}
+    assert counts[boiler] == 4  # one count per doc, not per occurrence
+    out = {r["doc_id"]: r for r in TA.strip_boilerplate_lines(df, min_docs=3).collect()}
+    assert out[0]["clean_text"] == "unique intro zero\nunique body zero"
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+    assert out[1]["clean_text"] == "unique body one"
+    assert out[2]["clean_text"] == "unique body two"
+    assert out[3]["clean_text"] == rows[3][1] and out[3]["n_kept"] == 2
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
