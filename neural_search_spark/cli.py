@@ -168,8 +168,25 @@ def cmd_serve(args) -> int:
             reader.refresh()
             print(json.dumps({"refreshed": True, "snapshot": reader.snapshot}), flush=True)
             continue
+        # a JSON object line is the structured request form (the api/search.py
+        # request-body analog): {"query": str, "top_k"?: int,
+        # "filter_ids"?: [doc_id, ...]} — filter_ids is the resolved
+        # metadata-filter id set, applied pre-rank (IndexReader.allowed_docs)
+        top_k, allowed = args.top_k, None
+        if text.startswith("{"):
+            try:
+                req = json.loads(text)
+                text = req["query"]
+                top_k = int(req.get("top_k", args.top_k))
+                allowed = req.get("filter_ids")
+            except (ValueError, KeyError) as e:
+                print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
+                continue
         t0 = time.perf_counter()
-        hits = reader.query(text, top_k=args.top_k, positive_only=not args.match_all)
+        hits = reader.query(
+            text, top_k=top_k, positive_only=not args.match_all,
+            allowed_docs=allowed,
+        )
         ms = (time.perf_counter() - t0) * 1000
         print(
             json.dumps(

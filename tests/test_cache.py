@@ -178,3 +178,25 @@ def test_cli_serve_loop(idx_dir):
         got = [(h["doc_id"], h["score"]) for h in res["hits"]]
         assert got == expect
         assert res["latency_ms"] < 5000
+
+
+def test_cli_serve_structured_request(idx_dir):
+    """A JSON request line carries top_k + filter_ids (pre-rank id filter)."""
+    import json
+    import subprocess
+    import sys
+
+    full = IndexReader(idx_dir).query("w0005 w0010", top_k=100, positive_only=True)
+    allowed = [d for d, _ in full[len(full) // 2 :]]
+    req = json.dumps({"query": "w0005 w0010", "top_k": 3, "filter_ids": allowed})
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "5"],
+        input=req + "\n{not json\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    got = [(h["doc_id"], h["score"]) for h in lines[0]["hits"]]
+    assert got == [(d, s) for d, s in full if d in set(allowed)][:3]
+    assert "error" in lines[1]
