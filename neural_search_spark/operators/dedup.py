@@ -403,3 +403,38 @@ def dedup_components(
     ``min(doc_id)`` per component is the standard train-data dedup policy."""
     pairs = minhash_lsh_pairs(corpus, threshold, n_hashes, rows_per_band, k)
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits): training docs sharing >= 1 word k-gram with an
+    evaluation set — the standard pre-training decontamination pass (GPT-3
+    style n-gram overlap: a train doc that contains benchmark text must be
+    dropped or the eval is meaningless).
+
+    ``benchmark`` is any (doc_id, text) frame; its distinct shingles are
+    BROADCAST — eval sets are thousands of docs against a 10^12-doc corpus,
+    so the corpus-side shingle stream never shuffles for the probe; the only
+    shuffle is the per-doc hit count. ``n_hits`` counts distinct
+    contaminated shingles per training doc.
+    """
+    doc_sh = _shingles_df(corpus.select("doc_id", F.col(text_col).alias("text")), k)
+    bench_sh = (
+        _shingles_df(benchmark.select("doc_id", F.col(text_col).alias("text")), k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import pii as PII
 from ..functions import text_analysis as TA
 from ..functions import urls as UR
 from ..operators import dedup as DD
@@ -681,6 +682,126 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# --- benchmark decontamination --------------------------------------------------
+# GPT-3-style n-gram overlap: docs 0-4 stand in for the evaluation set, the
+# rest is the training corpus; a training doc sharing any word 4-gram with
+# the eval set is flagged with its hit count.
+_DECON_K = 4
+
+
+def q_decontaminate(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return DD.benchmark_contamination(
+        d.where(F.col("doc_id") >= 5),
+        d.where(F.col("doc_id") < 5),
+        k=_DECON_K,
+    ).select(F.col("doc_id").cast("long"), "n_hits")
+
+
+SQL_DECONTAMINATE = f"""
+WITH tok_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= {_DECON_K}
+           THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 for i in generate_series(1, len(t) - {_DECON_K - 1})]
+           ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM tok_arr
+),
+bench AS (SELECT DISTINCT shingle FROM doc_sh WHERE doc_id < 5)
+SELECT d.doc_id, count(*)::BIGINT AS n_hits
+FROM doc_sh d JOIN bench b USING (shingle)
+WHERE d.doc_id >= 5
+GROUP BY d.doc_id
+"""
+
+
+# --- PII scrubbing -------------------------------------------------------------
+# The driver corpus contains no PII, so both engines plant the SAME
+# deterministic strings on doc_id residue classes (email on 1/6, IPv4 on 1/9,
+# phone on 1/13) — every redaction branch fires and the counts are nonzero.
+
+
+def _docs_with_pii(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_text_scrub_pii(spark, sf_dir):
+    return PII.scrub_pii(_docs_with_pii(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "clean_text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+_PII_ML = """
+pml AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                      || (doc_id % 100)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_sql() -> str:
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    e, i, p = (r.replace("'", "''") for r in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    return f"""
+WITH {_PII_ML},
+st AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1
+  FROM pml
+),
+st2 AS (SELECT *, regexp_replace(t1, '{i}', '<IP>', 'g') AS t2 FROM st)
+SELECT doc_id,
+       regexp_replace(t2, '{p}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{e}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t1, '{i}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '{p}'))::BIGINT AS n_phones
+FROM st2
+"""
+
+
+SQL_TEXT_SCRUB_PII = _pii_sql()
+
+
 # --- URL analysis --------------------------------------------------------------
 # The driver documents table has no url column, so (like the rare-term
 # augmentation for bm25_topk) both engines synthesize the SAME deterministic
@@ -897,6 +1018,7 @@ def pipeline_queries() -> dict:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
+        "decontaminate": q_decontaminate,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -908,6 +1030,7 @@ def pipeline_queries() -> dict:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_strip_boilerplate": q_text_strip_boilerplate,
+        "text_scrub_pii": q_text_scrub_pii,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "url_host_stats": q_url_host_stats,
@@ -925,6 +1048,7 @@ def pipeline_oracles() -> dict:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "decontaminate": SQL_DECONTAMINATE,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,
         "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
@@ -935,6 +1059,7 @@ def pipeline_oracles() -> dict:
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
         "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
+        "text_scrub_pii": SQL_TEXT_SCRUB_PII,
         "media_stats": SQL_MEDIA_STATS,
         "media_decode": SQL_MEDIA_DECODE,
         "url_host_stats": SQL_URL_HOST_STATS,

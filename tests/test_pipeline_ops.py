@@ -471,3 +471,25 @@ def test_strip_boilerplate_lines(spark):
     assert out[2]["clean_text"] == "unique body two"
     assert out[3]["clean_text"] == rows[3][1] and out[3]["n_kept"] == 2
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_benchmark_contamination(spark):
+    """GPT-3-style n-gram decontamination: train docs sharing a word k-gram
+    with the eval set are flagged; clean docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris everyone knows")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "trivia page the capital of france is paris obviously leaked"),
+            (1, "completely unrelated text about spark shuffle partitions"),
+            (2, "of france is paris tail overlap only"),  # one shared 4-gram chain
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            DD.benchmark_contamination(train, bench, k=4).collect()}
+    assert 0 in hits and 2 in hits and 1 not in hits
+    assert hits[0] == 3  # 'the capital of france', 'capital of france is', 'of france is paris'
+    assert hits[2] == 1  # 'of france is paris'
