@@ -493,3 +493,168 @@ def ann_ivf_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "vec_id", "score")
     )
+
+
+# --- exact-fold IVF (cross-engine-verifiable mode) ---------------------------
+
+
+def _unit_norm_df(
+    embeddings: DataFrame, id_col: str, vec_col: str, out_id: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, v): L2-normalized float64 vectors via left-to-right folds.
+
+    Every float op here (square-sum fold, sqrt, per-element divide) has a
+    bit-identical DuckDB twin (list_sum / sqrt / list_transform), which is the
+    whole point of the exact mode: no numpy pairwise summation anywhere.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.greatest(F.sqrt(_dot(v, v)), F.lit(1e-12))
+    return embeddings.select(
+        F.col(id_col).alias(out_id), F.transform(v, lambda x: x / nrm).alias("v")
+    )
+
+
+def train_ivf_centroids_exact(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means with fold arithmetic only — the SQL-mirrorable twin
+    of ``train_ivf_centroids``.
+
+    Same math as the production numpy-kernel trainer (init = n_clusters
+    lowest-id normalized vectors; Lloyd assign = argmax dot, ties to the
+    lower cluster id; update = member-vector sum renormalized to unit length,
+    empty clusters keep their previous centroid) but every float reduction is
+    an explicit left-to-right fold (``F.aggregate``/``zip_with``, members
+    added in vec_id order), so a DuckDB oracle built from list_sum /
+    list_reduce / list_transform reproduces the centroids BIT-EXACTLY.
+    numpy's pairwise summation makes the production kernel ~1e-12 different —
+    same clusters in practice (asserted in pytest), but not hashable against
+    SQL; this mode is what the driver CORRECTNESS entry runs.
+
+    Scale note: one crossJoin(broadcast centroids) + one groupBy per Lloyd
+    iteration, plan width constant in dim; the per-cluster ordered fold is
+    the only non-partial aggregation (it collects each cluster's members into
+    one task). The numpy trainer stays the 10^12-row path; this mode's job is
+    cross-engine verifiability at test scale.
+    """
+    spark = embeddings.sparkSession
+    nv = _unit_norm_df(embeddings, id_col, vec_col).persist()
+    seed = nv.orderBy("vec_id").limit(n_clusters).collect()
+    cents = [list(r["v"]) for r in seed]
+    dim = len(cents[0])
+    zero = F.array_repeat(F.lit(0.0), dim)
+    from pyspark.sql import Window
+
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cluster int, c array<double>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cluster"))
+        asg = (
+            nv.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id", "v", "cluster", _dot(F.col("v"), F.col("c")).alias("dot")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        agg = (
+            asg.groupBy("cluster")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("vec_id").alias("i"), F.col("v").alias("mv"))
+                    )
+                ).alias("lv")
+            )
+            .select(
+                "cluster",
+                F.aggregate(
+                    F.col("lv"),
+                    zero,
+                    lambda acc, s: F.zip_with(acc, s["mv"], lambda a, b: a + b),
+                ).alias("total"),
+            )
+            .select(
+                "cluster",
+                "total",
+                F.sqrt(
+                    F.aggregate(F.col("total"), F.lit(0.0), lambda a, x: a + x * x)
+                ).alias("nrm"),
+            )
+        )
+        by_cluster = {r["cluster"]: r for r in agg.collect()}
+        cents = [
+            [x / r["nrm"] for x in r["total"]]
+            if (r := by_cluster.get(i)) is not None and r["nrm"] > 0
+            else old
+            for i, old in enumerate(cents)
+        ]
+    nv.unpersist()
+    return cents
+
+
+def ann_ivf_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): IVF top-k in exact-fold mode.
+
+    Identical IVF semantics to ``ann_ivf_topk`` (train coarse quantizer,
+    assign corpus under the final centroids, probe the n_probe nearest
+    clusters per query, exact cosine within the probed set, ties to the lower
+    vec_id) but built entirely from fold arithmetic on normalized vectors so
+    the unrolled-Lloyd DuckDB oracle (SQL_ANN_TOPK_IVF in
+    plans/pipeline_entry.py) reproduces every score bit-for-bit — this is
+    what upgrades the driver's ann_topk_ivf entry from rows-only to a full
+    value-hash check. Scores equal dot(unit_q, unit_v), which IS the cosine.
+    """
+    spark = embeddings.sparkSession
+    cents = train_ivf_centroids_exact(
+        embeddings, n_clusters, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, c array<double>"
+    )
+    from pyspark.sql import Window
+
+    nv = _unit_norm_df(embeddings, id_col, vec_col)
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cluster"))
+    assigned = (
+        nv.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "v", "cluster", _dot(F.col("v"), F.col("c")).alias("dot"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+    qn = _unit_norm_df(queries, query_id_col, query_vec_col, out_id="query_id")
+    qn = qn.withColumnRenamed("v", "qv")
+    wp = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("cluster"))
+    probes = (
+        qn.crossJoin(F.broadcast(cent_df))
+        .select("query_id", "qv", "cluster", _dot(F.col("qv"), F.col("c")).alias("dot"))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id", "vec_id", _dot(F.col("v"), F.col("qv")).alias("score")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "rank", "vec_id", "score")
+    )

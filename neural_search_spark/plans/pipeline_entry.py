@@ -7,10 +7,10 @@ construct-for-construct (same md5-derived hashing, same floor-divisions,
 same double arithmetic), so the driver's order-insensitive value-hash
 matches bit-for-bit after 6dp rounding.
 
-The one operator without an oracle entry (IVF ANN — iterative float
-k-means has no SQL mirror) is intentionally rows-only in the driver's
-correctness gate; its correctness is pinned by a pytest
-recall-vs-brute-force gate instead of SQL equivalence.
+Every entry — including IVF ANN, whose Lloyd iterations run in exact-fold
+mode and are mirrored by an unrolled-CTE oracle — has a full value-hash
+SQL check; "approximate" operators are additionally pinned by pytest
+recall-vs-brute-force gates.
 """
 
 from __future__ import annotations
@@ -340,19 +340,122 @@ FROM pairs WHERE cosine >= {_ND_THRESHOLD}
 SQL_EMB_NEAR_DUP_LSH = _near_dup_sql()
 
 
+_IVF_K, _IVF_ITERS, _IVF_PROBE, _IVF_TOPK, _IVF_DIM = 16, 5, 4, 10, 64
+
+
 def q_ann_topk_ivf(spark, sf_dir):
-    # approximate (IVF coarse-quantizer pruning) — rows-only in the driver
-    # gate; recall gate in pytest. build_ivf persists the (vec_id, cluster)
-    # assignment, the deployment shape (train once, query many).
-    ivf = SIM.build_ivf(_emb(spark, sf_dir), n_clusters=16)
-    return SIM.ann_ivf_topk(
+    # IVF coarse-quantizer pruning in exact-fold mode: the deterministic-init
+    # Lloyd iterations use left-to-right fold arithmetic only, so the
+    # unrolled-Lloyd DuckDB oracle below reproduces the centroids — and every
+    # probed-set cosine — bit-for-bit (same pattern that got sign-LSH its
+    # full oracle). The numpy-kernel trainer (build_ivf/ann_ivf_topk) stays
+    # the 10^12-row production path; centroid parity between the two modes is
+    # asserted in pytest. "Approximate" remains recall-only (pytest gate
+    # vs brute force).
+    return SIM.ann_ivf_topk_exact(
         _emb(spark, sf_dir),
         _query_vecs(spark, sf_dir),
-        top_k=10,
-        n_probe=4,
-        ivf=ivf,
+        top_k=_IVF_TOPK,
+        n_clusters=_IVF_K,
+        n_iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
         query_vec_col="qv",
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
     )
+
+
+def _ivf_sql() -> str:
+    """Unrolled-Lloyd DuckDB mirror of ``ann_ivf_topk_exact``.
+
+    Generated, not hand-written: one (assign, ordered-fold-sum, renormalize)
+    CTE triple per Lloyd iteration. Bit-exactness contract with the Spark
+    side: dot = list_sum over in-order products == F.aggregate(zip_with)
+    fold; member sums fold in vec_id order from a zero vector ==
+    sort_array(collect_list) + F.aggregate(zip_with add); renormalize =
+    x / sqrt(list_sum(squares)); empty clusters keep the previous centroid.
+    """
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def unit(col: str) -> str:
+        sq = f"list_sum(list_transform({col}::DOUBLE[], y -> y::DOUBLE * y::DOUBLE))"
+        return (
+            f"list_transform({col}::DOUBLE[], "
+            f"x -> x::DOUBLE / greatest(sqrt({sq}), 1e-12))"
+        )
+
+    zero = f"list_transform(generate_series(1, {_IVF_DIM}), i -> 0.0::DOUBLE)"
+    parts = [
+        f"WITH nv AS (SELECT vec_id, {unit('embedding')} AS v FROM embeddings)",
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM nv ORDER BY vec_id LIMIT {_IVF_K})
+)""",
+    ]
+    for t in range(_IVF_ITERS):
+        parts.append(f"""asg{t} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT nv.vec_id, nv.v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {dot('nv.v', 'c.c')} DESC, c.cluster) AS rn
+    FROM nv CROSS JOIN cent{t} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""agg{t} AS (
+  SELECT cluster,
+         list_reduce(list_prepend({zero}, list(v ORDER BY vec_id)),
+                     (a, b) -> list_transform(a, (x, i) -> x + b[i])) AS total
+  FROM asg{t} GROUP BY cluster
+)""")
+        parts.append(f"""cent{t + 1} AS (
+  SELECT p.cluster,
+         CASE WHEN a.cluster IS NOT NULL
+                   AND sqrt(list_sum(list_transform(a.total, x -> x * x))) > 0
+              THEN list_transform(a.total,
+                     x -> x / sqrt(list_sum(list_transform(a.total, y -> y * y))))
+              ELSE p.c END AS c
+  FROM cent{t} p LEFT JOIN agg{t} a USING (cluster)
+)""")
+    fin = f"cent{_IVF_ITERS}"
+    parts.append(f"""asg_final AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT nv.vec_id, nv.v, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {dot('nv.v', 'c.c')} DESC, c.cluster) AS rn
+    FROM nv CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)""")
+    parts.append(
+        f"qn AS (SELECT vec_id AS query_id, {unit('embedding')} AS qv "
+        f"FROM embeddings WHERE vec_id < 5)"
+    )
+    parts.append(f"""probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.query_id, q.qv, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {dot('q.qv', 'c.c')} DESC, c.cluster) AS rn
+    FROM qn q CROSS JOIN {fin} c
+  ) WHERE rn <= {_IVF_PROBE}
+)""")
+    tail = f"""SELECT query_id, rank, vec_id, score FROM (
+  SELECT p.query_id, a.vec_id,
+         {dot('a.v', 'p.qv')} AS score,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {dot('a.v', 'p.qv')} DESC, a.vec_id) AS rank
+  FROM asg_final a JOIN probes p USING (cluster)
+) WHERE rank <= {_IVF_TOPK}"""
+    return ",\n".join(parts) + "\n" + tail
+
+
+SQL_ANN_TOPK_IVF = _ivf_sql()
 
 
 # sign-LSH ANN: the candidate set (buckets + multi-probe flips) is a
@@ -1067,9 +1170,9 @@ def pipeline_oracles() -> dict:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
-        # ann_topk_ivf: intentionally no oracle (iterative float k-means
-        # can't be mirrored in SQL) — driver records the weaker rows-only
-        # check; its recall gate lives in pytest.
+        # ann_topk_ivf runs in exact-fold mode, so even the iterative
+        # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
+        "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     }
 
 

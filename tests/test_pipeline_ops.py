@@ -309,6 +309,48 @@ def test_ann_ivf_recall_beats_sampling(spark, emb, emb_queries):
     assert recall >= min(1.0, 2.0 * scan_fraction), (recall, scan_fraction)
 
 
+def test_ivf_exact_mode_matches_numpy_trainer(spark, emb, emb_queries):
+    """The exact-fold trainer (driver-entry mode, SQL-mirrorable) and the
+    production numpy-kernel trainer run the same Lloyd math with different
+    summation orders — centroids must agree to float-accumulation noise and
+    the pruned top-k must be (near-)identical."""
+    import numpy as np
+
+    C_np = SIM.train_ivf_centroids(emb, n_clusters=8, n_iters=3)
+    C_ex = np.array(SIM.train_ivf_centroids_exact(emb, n_clusters=8, n_iters=3))
+    assert C_ex.shape == C_np.shape
+    assert np.allclose(C_ex, C_np, atol=1e-9), np.max(np.abs(C_ex - C_np))
+
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in SIM.ann_ivf_topk_exact(
+            emb, emb_queries, top_k=10, n_clusters=8, n_iters=3, n_probe=3
+        ).collect()
+    }
+    prod = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in SIM.ann_ivf_topk(
+            emb,
+            emb_queries,
+            top_k=10,
+            n_probe=3,
+            ivf=SIM.build_ivf(emb, n_clusters=8, n_iters=3),
+        ).collect()
+    }
+    # identical probes + identical assignment modulo 1-ulp boundary flips
+    overlap = len(exact & prod) / max(len(prod), 1)
+    assert overlap >= 0.9, (overlap, len(exact), len(prod))
+
+
+def test_ivf_exact_is_rank1_self(spark, emb, emb_queries):
+    res = SIM.ann_ivf_topk_exact(
+        emb, emb_queries, top_k=5, n_clusters=8, n_iters=2, n_probe=3
+    )
+    for r in res.where("rank = 1").collect():
+        assert r["vec_id"] == r["query_id"]
+        assert abs(r["score"] - 1.0) < 1e-9
+
+
 def test_near_dup_lsh_subset_of_brute_and_recall(spark):
     """LSH near-dup pairs must be a subset of the brute-force pairs with
     identical cosines (precision is exact — only recall is approximate), and
