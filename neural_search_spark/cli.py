@@ -159,6 +159,11 @@ def cmd_serve(args) -> int:
         if args.cache_entries > 0
         else None
     )
+    limiter = None
+    if args.rate_limit > 0:
+        from .query.ratelimit import SlidingWindowLimiter
+
+        limiter = SlidingWindowLimiter(args.rate_limit, args.rate_window)
     reader = IndexReader(args.index, cache=cache)
     for line in sys.stdin:
         text = line.strip()
@@ -172,6 +177,16 @@ def cmd_serve(args) -> int:
         # request-body analog): {"query": str, "top_k"?: int,
         # "filter_ids"?: [doc_id, ...]} — filter_ids is the resolved
         # metadata-filter id set, applied pre-rank (IndexReader.allowed_docs)
+        if limiter is not None:
+            ok, retry_after = limiter.check()
+            if not ok:
+                print(
+                    json.dumps(
+                        {"error": "rate limited", "retry_after_s": round(retry_after, 3)}
+                    ),
+                    flush=True,
+                )
+                continue
         top_k, allowed = args.top_k, None
         if text.startswith("{"):
             try:
@@ -269,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--match-all", action="store_true")
     sv.add_argument("--cache-entries", type=int, default=4096, help="0 disables caching")
     sv.add_argument("--cache-ttl", type=float, default=3600.0)
+    # reference config declares 100 req / 60 s (config.py:51-52) but never
+    # enforces it (no-op middleware); 0 keeps the reference's effective
+    # behavior, a positive value turns enforcement on per replica
+    sv.add_argument("--rate-limit", type=int, default=0, help="max requests per window; 0 = off")
+    sv.add_argument("--rate-window", type=float, default=60.0, help="window seconds")
     sv.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("stream-ingest")

@@ -200,3 +200,47 @@ def test_cli_serve_structured_request(idx_dir):
     got = [(h["doc_id"], h["score"]) for h in lines[0]["hits"]]
     assert got == [(d, s) for d, s in full if d in set(allowed)][:3]
     assert "error" in lines[1]
+
+
+def test_sliding_window_limiter_deterministic_clock():
+    from neural_search_spark.query.ratelimit import SlidingWindowLimiter
+
+    t = [0.0]
+    lim = SlidingWindowLimiter(3, 10.0, clock=lambda: t[0])
+    assert [lim.check()[0] for _ in range(3)] == [True, True, True]
+    ok, retry = lim.check()
+    assert not ok and abs(retry - 10.0) < 1e-9  # oldest stamp at t=0 expires at 10
+    t[0] = 9.999
+    assert lim.check()[0] is False
+    t[0] = 10.001  # all three t=0 stamps aged out -> window empty again
+    assert [lim.check()[0] for _ in range(3)] == [True, True, True]
+    ok, retry = lim.check()  # full again; oldest stamp now at 10.001
+    assert not ok and abs(retry - 10.0) < 1e-9
+    # rejections are not recorded: advancing past all stamps frees all slots
+    t[0] = 25.0
+    assert [lim.check()[0] for _ in range(3)] == [True, True, True]
+    s = lim.stats()
+    assert s["allowed"] == 9 and s["rejected"] == 3 and s["in_window"] == 3
+
+
+def test_cli_serve_rate_limit(idx_dir):
+    """With --rate-limit N, request N+1 inside the window is rejected with a
+    retry_after_s hint and the loop keeps serving afterwards."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "3", "--rate-limit", "2",
+         "--rate-window", "3600"],
+        input="w0005\nw0005\nw0005\nw0005\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert len(lines) == 4
+    assert "hits" in lines[0] and "hits" in lines[1]
+    for rej in lines[2:]:
+        assert rej["error"] == "rate limited"
+        assert 0 < rej["retry_after_s"] <= 3600
