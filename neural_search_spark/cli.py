@@ -216,6 +216,23 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_warmup(args) -> int:
+    """Warm a serving replica: shard states, page cache, optional queries.
+
+    The S8 analog (reference scripts/download_models.py pre-caches models so
+    the first request is fast); here the artifact to pre-cache is the index."""
+    from .query.cache import TtlLruCache
+    from .query.serve import IndexReader
+
+    reader = IndexReader(args.index, cache=TtlLruCache())
+    queries = None
+    if args.queries:
+        with open(args.queries) as f:
+            queries = [ln.strip() for ln in f if ln.strip()]
+    print(json.dumps(reader.warm(queries, preload_postings=args.preload_postings)))
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     from .streaming.ingest import stream_corpus, stream_index_corpus
 
@@ -290,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--rate-limit", type=int, default=0, help="max requests per window; 0 = off")
     sv.add_argument("--rate-window", type=float, default=60.0, help="window seconds")
     sv.set_defaults(fn=cmd_serve)
+
+    wu = sub.add_parser("warmup")
+    wu.add_argument("--index", required=True)
+    wu.add_argument("--queries", default=None, help="file of warm queries, one per line")
+    wu.add_argument("--preload-postings", action="store_true")
+    wu.set_defaults(fn=cmd_warmup)
 
     s = sub.add_parser("stream-ingest")
     s.add_argument("--input", required=True)

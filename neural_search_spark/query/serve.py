@@ -250,6 +250,51 @@ class IndexReader:
             self.cache.set(skey, result)
         return result
 
+    def warm(
+        self, queries: list[str] | None = None, preload_postings: bool = False
+    ) -> dict:
+        """Eliminate replica cold-start before it enters the serving pool.
+
+        The serving analog of the reference's model pre-cache (S8,
+        ``scripts/download_models.py:15-38`` — download once so the first
+        request doesn't pay it): loads every shard's docmap state, optionally
+        streams the posting files through the OS page cache, and runs any
+        given queries through the normal path so their term postings (and
+        results) are cached under the current snapshot. Returns what was
+        warmed; call again after ``refresh()`` for a new snapshot.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        docmap_dir = os.path.join(self.root, "docmap")
+        shards = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(docmap_dir)
+            if d.startswith("shard=")
+        )
+        for s in shards:
+            self._shard_state(s)
+        posting_bytes = 0
+        if preload_postings:
+            pdir = os.path.join(self.root, "postings")
+            for dirpath, _dirs, files in os.walk(pdir):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        while chunk := f.read(1 << 20):
+                            posting_bytes += len(chunk)
+        for q in queries or []:
+            self.query(q, top_k=10)
+        return {
+            "snapshot": self.snapshot,
+            "n_shards": len(shards),
+            "n_terms": len(self.idf),
+            "posting_bytes_touched": posting_bytes,
+            "n_warm_queries": len(queries or []),
+            "elapsed_s": round(time.perf_counter() - t0, 4),
+        }
+
     def _score(
         self,
         qterms: dict,

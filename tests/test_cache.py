@@ -244,3 +244,37 @@ def test_cli_serve_rate_limit(idx_dir):
     for rej in lines[2:]:
         assert rej["error"] == "rate limited"
         assert 0 < rej["retry_after_s"] <= 3600
+
+
+def test_warmup_loads_shards_and_queries(idx_dir):
+    """warm() pre-loads every shard's docmap state, touches the posting
+    bytes, and primes the query/postings caches for the given queries."""
+    from neural_search_spark.query.cache import TtlLruCache
+    from neural_search_spark.query.serve import IndexReader
+
+    r = IndexReader(idx_dir, cache=TtlLruCache())
+    assert not r._shards
+    info = r.warm(["w0005 w0010"], preload_postings=True)
+    assert info["n_shards"] == len(r._shards) > 0
+    assert info["posting_bytes_touched"] > 0
+    assert info["n_warm_queries"] == 1
+    # the warm query is now served from the result cache
+    key = TtlLruCache.make_search_key("w0005 w0010", 10, True, r.snapshot)
+    assert r.cache.get(key) is not None
+
+
+def test_cli_warmup(idx_dir, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    qf = tmp_path / "warm_queries.txt"
+    qf.write_text("w0005 w0010\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "warmup",
+         "--index", idx_dir, "--queries", str(qf), "--preload-postings"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["n_shards"] > 0 and info["posting_bytes_touched"] > 0
