@@ -13,6 +13,9 @@ quality_score / lang_id are per-row; fingerprints add one explode).
   * ``doc_fingerprints`` — winnowing document fingerprints: k-gram md5
     hashes, min per sliding window of w, distinct (Schleimer et al.'s
     winnowing, the standard local-fingerprint scheme); array ops only.
+  * ``bigram_lm_xent`` — CCNet-style perplexity filtering: self-trained
+    add-one bigram LM, per-doc cross-entropy (two count aggregates + two
+    joins + one ordered fold; the only op here with shuffles by design).
 
 Each has a line-for-line DuckDB oracle in plans/pipeline_entry.py.
 """
@@ -282,4 +285,81 @@ def strip_boilerplate_lines(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.concat_ws("\n", F.transform(kept, lambda x: x["line"])).alias("clean_text"),
+    )
+
+
+def bigram_lm_xent(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, xent): bigram-LM cross-entropy per token — the
+    CCNet-style perplexity-filtering signal (ppl = e^xent).
+
+    Trains an add-one-smoothed bigram model ON the corpus itself (the public
+    CCNet recipe scores with a KenLM n-gram model; self-training keeps the
+    operator dependency-free and the semantics identical: low xent = fluent /
+    templated text, high xent = noise) and scores every document:
+
+        P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V)
+        xent     = -(1/n) Σ_positions ln P
+
+    Plan shape at 10^12 docs: two count aggregates (bigram, history — both
+    map-side-combined, one row per key), two shuffle joins back onto the
+    bigram stream keyed on (w1,w2) / w1 — Zipf head tokens make the probe
+    side skewed, which AQE skew-split handles since the build sides are
+    pre-aggregated — and one per-doc fold. No Python anywhere.
+
+    Cross-engine determinism (same discipline as the rest of this module):
+    every ln is taken on an INTEGER argument and rounded to 6dp before any
+    arithmetic (JVM StrictMath and DuckDB libm lns differ by 1 ulp on ~3% of
+    integer inputs; rounded to 6dp they agreed on all of 1..200000), and the
+    per-doc sum folds the rounded values in token-position order
+    (sort_array(collect_list) + F.aggregate == DuckDB list_sum(list(... ORDER
+    BY pos))), so the driver's value-hash matches bit-for-bit.
+
+    Docs with fewer than two tokens have no bigrams and are not emitted.
+    """
+    t = tokens_col(F.col(text_col))
+    toks = corpus.select(F.col(id_col).alias("doc_id"), t.alias("t")).where(
+        F.size("t") >= 2
+    )
+    vocab = toks.select(F.explode("t").alias("term")).select(
+        F.countDistinct("term")
+    ).collect()[0][0]
+    bgarr = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.posexplode(bgarr).alias("pos", "b")).select(
+        "doc_id", "pos", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.round(F.log(F.col("c12") + 1), 6)
+                - F.round(F.log(F.col("c1") + F.lit(int(vocab))), 6)
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("lv"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.aggregate(F.col("lv"), F.lit(0.0), lambda a, s: a + s["lp"])
+                / F.col("n_bigrams"),
+                6,
+            ).alias("xent"),
+        )
     )

@@ -683,6 +683,42 @@ FROM bg_t g LEFT JOIN bgm m ON g.doc_id = m.doc_id
 """
 
 
+def q_text_perplexity(spark, sf_dir):
+    return TA.bigram_lm_xent(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("n_bigrams").cast("long"), "xent"
+    )
+
+
+# ln parity: JVM and DuckDB natural logs differ by 1 ulp on some integer
+# inputs, so both sides round each ln to 6dp BEFORE any arithmetic; the
+# per-doc sum then folds identical doubles in position order on both
+# engines (list_sum(list(... ORDER BY pos)) == sort_array+F.aggregate).
+SQL_TEXT_PERPLEXITY = f"""
+WITH {_TOKS},
+vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+bg AS (
+  -- generate_series(1, len-1) is empty for len < 2, so short docs
+  -- contribute no bigram rows (mirrors the Spark-side size >= 2 filter)
+  SELECT doc_id, pos, w1, w2
+  FROM tok_arr,
+       LATERAL (SELECT unnest([{{'pos': i, 'w1': t[i], 'w2': t[i+1]}}
+                               for i in generate_series(1, len(t) - 1)],
+                               recursive := true)) u
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, b.pos,
+         round(ln((c12.c12 + 1)::DOUBLE), 6)
+           - round(ln((c1.c1 + v.v)::DOUBLE), 6) AS lp
+  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-list_sum(list(lp ORDER BY pos)) / count(*), 6) AS xent
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -1132,6 +1168,7 @@ def pipeline_queries() -> dict:
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
+        "text_perplexity": q_text_perplexity,
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "text_scrub_pii": q_text_scrub_pii,
         "media_stats": q_media_stats,
@@ -1161,6 +1198,7 @@ def pipeline_oracles() -> dict:
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
+        "text_perplexity": SQL_TEXT_PERPLEXITY,
         "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
         "text_scrub_pii": SQL_TEXT_SCRUB_PII,
         "media_stats": SQL_MEDIA_STATS,
@@ -1185,4 +1223,5 @@ def bench_queries() -> dict:
         "text_quality": q_text_quality,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
+        "text_perplexity": q_text_perplexity,
     }

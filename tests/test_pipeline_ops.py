@@ -535,3 +535,25 @@ def test_benchmark_contamination(spark):
     assert 0 in hits and 2 in hits and 1 not in hits
     assert hits[0] == 3  # 'the capital of france', 'capital of france is', 'of france is paris'
     assert hits[2] == 1  # 'of france is paris'
+
+
+def test_bigram_lm_xent_orders_fluency(spark):
+    """Templated/repetitive text scores lower cross-entropy than
+    unique-vocabulary noise under the self-trained bigram LM; short docs
+    (< 2 tokens) are excluded; n_bigrams = n_tokens - 1."""
+    rows = [
+        (0, "the cat sat on the mat " * 20),          # repetitive, fluent
+        (1, "the cat sat on the mat " * 20),          # identical twin
+        (2, " ".join(f"zz{i:03d}" for i in range(120))),  # all-unique noise
+        (3, "solo"),                                  # 1 token -> excluded
+        (4, ""),                                      # 0 tokens -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.bigram_lm_xent(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["xent"] == out[1]["xent"]  # deterministic, content-only
+    assert out[0]["xent"] < out[2]["xent"]   # repetition -> low xent
+    assert out[0]["n_bigrams"] == 6 * 20 - 1
+    assert out[2]["n_bigrams"] == 119
+    for r in out.values():
+        assert r["xent"] > 0
