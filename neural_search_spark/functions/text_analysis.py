@@ -13,6 +13,8 @@ quality_score / lang_id are per-row; fingerprints add one explode).
   * ``doc_fingerprints`` — winnowing document fingerprints: k-gram md5
     hashes, min per sliding window of w, distinct (Schleimer et al.'s
     winnowing, the standard local-fingerprint scheme); array ops only.
+  * ``dedup_lines_within_doc`` — C4-style within-page repeated-line
+    removal (one explode + two shuffles, order-preserving reassembly).
   * ``bigram_lm_xent`` — CCNet-style perplexity filtering: self-trained
     add-one bigram LM, per-doc cross-entropy (two count aggregates + two
     joins + one ordered fold; the only op here with shuffles by design).
@@ -361,5 +363,50 @@ def bigram_lm_xent(
                 / F.col("n_bigrams"),
                 6,
             ).alias("xent"),
+        )
+    )
+
+
+def dedup_lines_within_doc(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): drop repeated lines WITHIN each
+    document, keeping the first occurrence in original order.
+
+    The within-page half of the classic cleanup pair (C4 deduplicates
+    repeated paragraphs inside a page; MassiveText repeated lines) —
+    ``strip_boilerplate_lines`` handles the cross-document half. Linear in
+    document length: one explode, a first-occurrence groupBy, and an
+    ordered reassembly groupBy — deliberately NOT the per-row
+    ``array_position`` form, which is O(L²) in a single task on a
+    100k-line page (the straggler class the repetition profile had to be
+    cured of). Duplicate blank lines collapse too (matches C4, which
+    treats any repeated paragraph the same).
+    """
+    lines = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    first = lines.groupBy("doc_id", "line").agg(
+        F.min("idx").alias("idx"), F.count("*").alias("n_occ")
+    )
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_lines"),
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "clean_text",
         )
     )

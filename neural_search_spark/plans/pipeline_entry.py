@@ -683,6 +683,58 @@ FROM bg_t g LEFT JOIN bgm m ON g.doc_id = m.doc_id
 """
 
 
+def _docs_selfdup(spark, sf_dir):
+    """Documents view with PLANTED within-doc duplicate lines (the driver
+    corpus is single-line): doc_id%3==0 repeats its own first line at the
+    end; doc_id%4==0 appends one line twice. Mirrored verbatim in SQL."""
+    d = _docs(spark, sf_dir)
+    first_line = F.split(F.col("text"), "\n").getItem(0)
+    text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), first_line)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\nrepeated line alpha\nrepeated line alpha"),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_text_dedup_lines(spark, sf_dir):
+    return TA.dedup_lines_within_doc(_docs_selfdup(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_lines", "n_kept", "clean_text"
+    )
+
+
+SQL_TEXT_DEDUP_LINES = """
+WITH ml AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || string_split(text, chr(10))[1] ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                THEN chr(10) || 'repeated line alpha'
+                  || chr(10) || 'repeated line alpha' ELSE '' END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest([{'idx': i, 'line': parts[i]}
+                 for i in generate_series(1, len(parts))], recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM ml)
+),
+first AS (
+  SELECT doc_id, line, min(idx) AS idx, count(*) AS n_occ
+  FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id, sum(n_occ)::BIGINT AS n_lines, count(*)::BIGINT AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY idx), '') AS clean_text
+FROM first GROUP BY doc_id
+"""
+
+
 def q_text_perplexity(spark, sf_dir):
     return TA.bigram_lm_xent(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), F.col("n_bigrams").cast("long"), "xent"
@@ -1169,6 +1221,7 @@ def pipeline_queries() -> dict:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_perplexity": q_text_perplexity,
+        "text_dedup_lines": q_text_dedup_lines,
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "text_scrub_pii": q_text_scrub_pii,
         "media_stats": q_media_stats,
@@ -1199,6 +1252,7 @@ def pipeline_oracles() -> dict:
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
         "text_perplexity": SQL_TEXT_PERPLEXITY,
+        "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
         "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
         "text_scrub_pii": SQL_TEXT_SCRUB_PII,
         "media_stats": SQL_MEDIA_STATS,
@@ -1224,4 +1278,5 @@ def bench_queries() -> dict:
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_perplexity": q_text_perplexity,
+        "text_dedup_lines": q_text_dedup_lines,
     }

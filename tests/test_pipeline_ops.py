@@ -557,3 +557,20 @@ def test_bigram_lm_xent_orders_fluency(spark):
     assert out[2]["n_bigrams"] == 119
     for r in out.values():
         assert r["xent"] > 0
+
+
+def test_dedup_lines_within_doc(spark):
+    rows = [
+        (0, "alpha\nbeta\nalpha\ngamma\nbeta"),  # 2 dup lines dropped
+        (1, "one line only"),
+        (2, "x\nx\nx\nx"),                        # collapses to a single line
+        (3, "a\n\nb\n\nc"),                       # duplicate blanks collapse too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TA.dedup_lines_within_doc(docs).collect()}
+    assert out[0]["clean_text"] == "alpha\nbeta\ngamma"
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (5, 3)
+    assert out[1]["clean_text"] == "one line only"
+    assert out[2]["clean_text"] == "x"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 1)
+    assert out[3]["clean_text"] == "a\n\nb\nc"
