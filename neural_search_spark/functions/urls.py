@@ -101,3 +101,43 @@ def cap_per_domain(
         parsed.withColumn("domain_rank", F.row_number().over(w))
         .where(F.col("domain_rank") <= max_docs)
     )
+
+
+def sample_per_domain(
+    parsed: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    by: str = "registered_domain",
+    key_col: str = "url",
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling — mixture reweighting.
+
+    The curation step after per-domain stats: down-weight over-represented
+    or low-quality domains by keeping each of their documents with a fixed
+    probability. The coin is NOT ``rand()``: a document survives iff
+    ``int(md5(key)[:8], 16) % 1e6 < rate * 1e6``, a pure function of the row
+    key — so every re-run, resume, and cluster size draws the SAME sample
+    (checkpoint-resumable pipelines break under nondeterministic sampling),
+    and the oracle can verify the exact surviving set. Rates are snapped to
+    integer parts-per-million driver-side so no float threshold crosses an
+    engine boundary. Broadcast rates join + codegen'd filter: zero shuffle,
+    scan speed at any corpus size. Keeps ``sample_bucket`` for audit.
+    """
+    spark = parsed.sparkSession
+    rows = [(d, int(round(r * 1_000_000))) for d, r in sorted(rates.items())]
+    default_ppm = int(round(default_rate * 1_000_000))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+    df = parsed
+    if rows:
+        rdf = spark.createDataFrame(rows, f"{by} string, keep_ppm long")
+        df = df.join(F.broadcast(rdf), by, "left")
+    else:
+        df = df.withColumn("keep_ppm", F.lit(None).cast("long"))
+    return (
+        df.withColumn("sample_bucket", bucket)
+        .where(F.col("sample_bucket") < F.coalesce(F.col("keep_ppm"), F.lit(default_ppm)))
+        .drop("keep_ppm")
+    )

@@ -1089,6 +1089,37 @@ SELECT doc_id, registered_domain, domain_rank FROM ranked WHERE domain_rank <= 4
 """
 
 
+_SAMPLE_RATES = {"example0.com": 0.5, "example1.com": 0.1}
+_SAMPLE_DEFAULT = 0.8
+
+
+def q_url_sample_domains(spark, sf_dir):
+    parsed = UR.url_parse(_docs_with_urls(spark, sf_dir))
+    return UR.sample_per_domain(
+        parsed, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    ).select(
+        F.col("doc_id").cast("long"),
+        "registered_domain",
+        F.col("sample_bucket").cast("long"),
+    )
+
+
+_SAMPLE_VALUES = ", ".join(
+    f"('{d}', {int(round(r * 1_000_000))})" for d, r in sorted(_SAMPLE_RATES.items())
+)
+
+SQL_URL_SAMPLE_DOMAINS = f"""
+WITH {_URL_SQL_CTE},
+rates(registered_domain, keep_ppm) AS (VALUES {_SAMPLE_VALUES})
+SELECT doc_id, registered_domain, sample_bucket FROM (
+  SELECT dom.doc_id, dom.registered_domain,
+         ('0x' || substr(md5(url), 1, 8))::BIGINT % 1000000 AS sample_bucket,
+         coalesce(r.keep_ppm, {int(round(_SAMPLE_DEFAULT * 1_000_000))}) AS keep_ppm
+  FROM dom LEFT JOIN rates r USING (registered_domain)
+) WHERE sample_bucket < keep_ppm
+"""
+
+
 # --- events (streaming-shaped agg, batch-verified) ---------------------------
 
 
@@ -1228,6 +1259,7 @@ def pipeline_queries() -> dict:
         "media_decode": q_media_decode,
         "url_host_stats": q_url_host_stats,
         "url_cap_per_domain": q_url_cap_per_domain,
+        "url_sample_domains": q_url_sample_domains,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
@@ -1259,6 +1291,7 @@ def pipeline_oracles() -> dict:
         "media_decode": SQL_MEDIA_DECODE,
         "url_host_stats": SQL_URL_HOST_STATS,
         "url_cap_per_domain": SQL_URL_CAP_PER_DOMAIN,
+        "url_sample_domains": SQL_URL_SAMPLE_DOMAINS,
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,

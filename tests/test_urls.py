@@ -61,3 +61,27 @@ def test_url_ops_stay_jvm_side(parsed):
     # whole pipeline is codegen'd column ops — no Python workers in the plan
     plan = UR.host_stats(parsed)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_sample_per_domain_deterministic_mixture(spark):
+    rows = [
+        (i, f"https://example{i % 3}.com/p{i}", 10) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    parsed_urls = UR.url_parse(df)
+    rates = {"example0.com": 0.5, "example1.com": 0.0}
+    a = UR.sample_per_domain(parsed_urls, rates, default_rate=1.0)
+    b = UR.sample_per_domain(parsed_urls, rates, default_rate=1.0)
+    got_a = sorted(r["doc_id"] for r in a.collect())
+    got_b = sorted(r["doc_id"] for r in b.collect())
+    assert got_a == got_b  # same coin every run
+    by_dom = {d: n for d, n in a.groupBy("registered_domain").count().collect()}
+    total = {d: n for d, n in parsed_urls.groupBy("registered_domain").count().collect()}
+    assert "example1.com" not in by_dom            # rate 0 drops everything
+    kept0 = by_dom.get("example0.com", 0) / total["example0.com"]
+    assert 0.25 <= kept0 <= 0.75                   # ~half survive at rate 0.5
+    for d, n in total.items():                     # untouched domains intact
+        if d not in rates:
+            assert by_dom[d] == n
+    # buckets audit column survives and is within range
+    assert all(0 <= r["sample_bucket"] < 1_000_000 for r in a.collect())
