@@ -101,3 +101,47 @@ def test_postings_scan_prunes_by_term(spark, corpus_small, tmp_path_factory):
     )
     plan = _plan(pf)
     assert "PushedFilters" in plan and "In(term" in plan
+
+def test_bigram_lm_counts_are_partially_aggregated(spark, stored_corpus):
+    """The two LM count aggregates must map-side combine (partial_count
+    before the exchange) and nothing in the perplexity pipeline may be a
+    cartesian product — at 10^12 docs an unpartial count or an accidental
+    cross join is fatal."""
+    from neural_search_spark.functions.text_analysis import bigram_lm_xent
+
+    df = bigram_lm_xent(stored_corpus.withColumn("doc_id", F.monotonically_increasing_id()))
+    plan = _plan(df)
+    assert "partial_count" in plan  # map-side combine on the count aggs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_per_domain_broadcasts_rates_no_shuffle(spark):
+    """The mixture sampler must broadcast the rates table and keep the
+    surviving-set filter in the scan stage (zero exchanges on the doc side
+    other than the broadcast)."""
+    from neural_search_spark.functions.urls import sample_per_domain, url_parse
+
+    rows = [(i, f"https://example{i % 3}.com/p{i}", 10) for i in range(50)]
+    parsed = url_parse(
+        spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    )
+    df = sample_per_domain(parsed, {"example0.com": 0.5})
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the broadcast of the rates side
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_lines_never_uses_quadratic_array_position(spark, stored_corpus):
+    """The within-doc line dedup must be the linear explode+groupBy shape:
+    no array_position / per-row quadratic scan in the plan."""
+    from neural_search_spark.functions.text_analysis import dedup_lines_within_doc
+
+    df = dedup_lines_within_doc(
+        stored_corpus.withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    plan = _plan(df)
+    assert "array_position" not in plan
+    assert "partial_min" in plan or "partial_count" in plan  # combine on first-occurrence agg
