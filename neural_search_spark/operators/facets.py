@@ -1,0 +1,52 @@
+"""Faceted aggregation over search results.
+
+The reference returns flat hit lists (``SearchResult`` rows,
+``/root/reference/src/neural_search/api/schemas.py:30-43``); facet counts —
+"of my top-k hits, how many per language / per source?" — are the standard
+fulltext-index companion aggregation. Semantics: for each query, join its
+result doc_ids to the corpus metadata and count docs per (facet, value).
+
+Scale shape: results are query-cardinality (q x k rows) while the corpus is
+the 100 TB side, so the RESULT side is broadcast into the join — the corpus
+is never shuffled — and the only shuffle is the final (query, facet, value)
+count, whose cardinality is bounded by q x facets x values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_counts(
+    results: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, facet, value, n_docs) over the result sets.
+
+    ``results`` needs (query_col, id_col); ``docs`` needs (id_col,
+    *facet_cols). Facet values are stringified so heterogeneous facet
+    columns stack into one output column.
+    """
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, *facet_cols).join(F.broadcast(hits), id_col)
+    stacked = joined.select(
+        query_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("fv"),
+    )
+    return stacked.groupBy(
+        query_col, F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1039,6 +1039,136 @@ LEFT JOIN ideal i ON i.query_id = a.query_id
 )
 
 
+# --- Fulltext extensions: phrase queries, snippets, facets -------------------
+
+# Phrase set over the documents vocabulary: a frequent bigram, another
+# bigram, a trigram with few matches, a phrase containing an unknown term
+# (empty by construction), and a single-term phrase (degenerates to tf rank).
+ENTRY_PHRASES: list[tuple[int, str, int]] = [
+    (0, "table hash", 5),
+    (1, "merge group", 5),
+    (2, "slow key join", 5),
+    (3, "part nosuchterm", 5),
+    (4, "customer", 5),
+]
+
+ENTRY_SNIPPET_TERMS = ["join", "hash", "vector"]
+ENTRY_SNIPPET_WINDOW = 8
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the positional posting table (see
+    ``query/phrase.py``): shifted-position-list intersection, ranked by
+    phrase_tf with deterministic doc_id ties."""
+    from ..query.phrase import doc_term_positions, phrase_topk
+
+    pos = doc_term_positions(_docs(spark, sf_dir), id_col="doc_id")
+    return phrase_topk(pos, spark, ENTRY_PHRASES)
+
+
+def _phrase_match_sql(pid: int, text: str, k: int) -> str:
+    toks = tokenize_py(text)
+    joins = [
+        f"JOIN toks p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+        for i, t in enumerate(toks[1:], 1)
+    ]
+    return (
+        f"SELECT {pid} AS phrase_id, {k} AS top_k, p0.doc_id,"
+        f" count(*) AS phrase_tf FROM toks p0 {' '.join(joins)}"
+        f" WHERE p0.term = '{toks[0]}' GROUP BY p0.doc_id"
+    )
+
+
+SQL_PHRASE_TOPK = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '\w+')))) AS pos
+  FROM documents
+),
+matches AS ("""
+    + " UNION ALL ".join(_phrase_match_sql(*p) for p in ENTRY_PHRASES)
+    + """)
+SELECT phrase_id, rank, doc_id, phrase_tf FROM (
+  SELECT phrase_id, top_k, doc_id, phrase_tf,
+         row_number() OVER (
+           PARTITION BY phrase_id ORDER BY phrase_tf DESC, doc_id ASC
+         ) AS rank
+  FROM matches
+) WHERE rank <= top_k
+"""
+)
+
+
+def q_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet per doc (``functions/snippets.py``): max distinct
+    query terms in an 8-token window, earliest-start ties, zero shuffles."""
+    from ..functions.snippets import best_snippets
+
+    return best_snippets(
+        _docs(spark, sf_dir),
+        ENTRY_SNIPPET_TERMS,
+        window=ENTRY_SNIPPET_WINDOW,
+        id_col="doc_id",
+    )
+
+
+SQL_BEST_SNIPPET = r"""
+WITH arr AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS a FROM documents),
+toks AS (SELECT doc_id, unnest(a) AS term, unnest(generate_series(1, len(a))) AS pos FROM arr),
+m AS (
+  SELECT doc_id, term, pos FROM toks
+  WHERE term IN ({terms})
+),
+wins AS (
+  SELECT a.doc_id, a.pos AS start, count(DISTINCT b.term) AS n_hits
+  FROM (SELECT DISTINCT doc_id, pos FROM m) a
+  JOIN m b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + {w} - 1
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT doc_id, start, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, start ASC) AS rn
+  FROM wins
+)
+SELECT b.doc_id, b.start, b.n_hits,
+       array_to_string(arr.a[b.start : b.start + {w} - 1], ' ') AS snippet
+FROM best b JOIN arr ON arr.doc_id = b.doc_id WHERE rn = 1
+""".format(
+    terms=", ".join(f"'{t}'" for t in sorted(ENTRY_SNIPPET_TERMS)),
+    w=ENTRY_SNIPPET_WINDOW,
+)
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts (lang, source) over the match-mode top-k result sets:
+    broadcast the q x k result side, never shuffle the corpus."""
+    from ..operators.facets import facet_counts
+
+    results = _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
+    return facet_counts(
+        results, _docs(spark, sf_dir), ["lang", "source"]
+    ).select(
+        "query_id", "facet", "value", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+SQL_FACET_COUNTS = _bm25_sql(
+    "SELECT query_id, facet, value, n_docs FROM fc",
+    positive_only=False,
+    extra_cte=""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+fc AS (
+  SELECT c.query_id, 'lang' AS facet, d.lang AS value, count(*) AS n_docs
+  FROM cut c JOIN documents d ON d.doc_id = c.doc_id GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT c.query_id, 'source' AS facet, d.source AS value, count(*) AS n_docs
+  FROM cut c JOIN documents d ON d.doc_id = c.doc_id GROUP BY 1, 2, 3
+)""",
+)
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1058,6 +1188,9 @@ def base_queries() -> dict:
         "hybrid_fusion": q_hybrid_fusion,
         "rrf_fusion": q_rrf_fusion,
         "search_eval": q_search_eval,
+        "phrase_topk": q_phrase_topk,
+        "best_snippet": q_best_snippet,
+        "facet_counts": q_facet_counts,
     }
 
 
@@ -1080,4 +1213,7 @@ def base_oracles() -> dict:
         "hybrid_fusion": SQL_HYBRID_FUSION,
         "rrf_fusion": SQL_RRF_FUSION,
         "search_eval": SQL_SEARCH_EVAL,
+        "phrase_topk": SQL_PHRASE_TOPK,
+        "best_snippet": SQL_BEST_SNIPPET,
+        "facet_counts": SQL_FACET_COUNTS,
     }

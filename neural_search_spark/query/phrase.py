@@ -1,0 +1,163 @@
+"""Phrase (positional) queries over the corpus.
+
+The reference engine is bag-of-words only (rank-bm25 ``get_scores`` consumes
+unordered token multisets; ``/root/reference/src/neural_search/core/hybrid.py:69-76``),
+so exact-phrase retrieval — the canonical *fulltext-index* feature — is a
+beyond-reference operator. Semantics: a document matches phrase
+``[t0 t1 ... tn-1]`` iff some token position ``p`` has ``tok[p+i] == ti`` for
+all ``i``; ``phrase_tf`` is the number of such ``p``.
+
+Spark-first design (no per-row Python in the match path):
+
+* ``doc_term_positions`` — one Arrow pass (mapInPandas) emitting one row per
+  *distinct* term per document with its sorted 1-based position list, i.e. a
+  positional posting table. At cluster scale this is the table you persist
+  (partitioned/bucketed by term) so the phrase filter below prunes to the
+  phrase's own postings at the scan.
+* ``phrase_topk`` — pure codegen from there: filter to the phrase terms
+  (pushdown-able), broadcast-join the tiny (term, offset) phrase side, shift
+  each position list by its offset (``transform``), and intersect the shifted
+  lists per (phrase, doc) (``aggregate`` + ``array_intersect``). A surviving
+  position is exactly a phrase start. One shuffle (the per-doc groupBy); the
+  per-phrase top-k cut is a window over phrase_id, never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenize import _TOKEN_RE, tokenize_py
+
+_POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_len", T.IntegerType()),
+    ]
+)
+
+
+def doc_term_positions(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, positions array<int> 1-based ascending, doc_len).
+
+    Same kernel shape as ``tokenize.doc_terms``: the positional combine
+    happens inside the Arrow batch, so the downstream shuffle carries
+    |doc| x |distinct terms| rows, each with a packed position list.
+    """
+    src = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            terms: list[str] = []
+            plists: list[list[int]] = []
+            dls: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _TOKEN_RE.findall(text.lower()) if isinstance(text, str) else []
+                by_term: dict[str, list[int]] = {}
+                for i, tok in enumerate(toks):
+                    by_term.setdefault(tok, []).append(i + 1)
+                for term, positions in by_term.items():
+                    ids.append(doc_id)
+                    terms.append(term)
+                    plists.append(positions)
+                    dls.append(len(toks))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "positions": plists, "doc_len": dls}
+            )
+
+    return src.mapInPandas(kernel, schema=_POSITIONS_SCHEMA)
+
+
+def _phrase_terms_df(spark, phrases: list[tuple[int, str, int]]) -> DataFrame:
+    """Explode phrases into (phrase_id, term, offset, n_terms, top_k) rows.
+
+    Tokenized driver-side with the reference tokenizer — phrase sets are
+    query-sized (broadcast side), never corpus-sized.
+    """
+    rows = []
+    for pid, text, k in phrases:
+        toks = tokenize_py(text)
+        for off, term in enumerate(toks):
+            rows.append((pid, term, off, len(toks), k))
+    return spark.createDataFrame(
+        rows, "phrase_id int, term string, offset int, n_terms int, top_k int"
+    )
+
+
+def phrase_match(
+    positions: DataFrame, spark, phrases: list[tuple[int, str, int]]
+) -> DataFrame:
+    """(phrase_id, doc_id, phrase_tf, top_k) for docs containing each phrase.
+
+    ``phrases`` is ``[(phrase_id, phrase_text, top_k), ...]``. A doc survives
+    iff every (term, offset) pair of the phrase matched (``n_found ==
+    n_terms`` — a repeated term at two offsets contributes two rows) and the
+    offset-shifted position lists share at least one start position.
+    """
+    pterms = _phrase_terms_df(spark, phrases)
+    all_terms = sorted({t for _, text, _ in phrases for t in tokenize_py(text)})
+
+    matched = (
+        # isin() before the join: at scale `positions` is the persisted
+        # positional posting table and this predicate prunes the scan to the
+        # phrase terms' postings.
+        positions.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(pterms), "term")
+        .select(
+            "phrase_id",
+            "doc_id",
+            "n_terms",
+            "top_k",
+            F.transform("positions", lambda p: p - F.col("offset")).alias("shifted"),
+        )
+    )
+    grouped = matched.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.first("n_terms").alias("n_terms"),
+        F.first("top_k").alias("top_k"),
+        F.collect_list("shifted").alias("shifted_lists"),
+    )
+    # Intersection fold; the init intersects the first list with itself,
+    # which is a no-op because position lists are duplicate-free.
+    inter = F.aggregate(
+        "shifted_lists",
+        F.element_at("shifted_lists", 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    return (
+        grouped.where(F.col("n_found") == F.col("n_terms"))
+        .withColumn("phrase_tf", F.size(inter))
+        .where(F.col("phrase_tf") > 0)
+        .select("phrase_id", "doc_id", "phrase_tf", "top_k")
+    )
+
+
+def phrase_topk(
+    positions: DataFrame, spark, phrases: list[tuple[int, str, int]]
+) -> DataFrame:
+    """Per-phrase top-k by (phrase_tf DESC, doc_id ASC) — deterministic ties.
+
+    Window cut over phrase_id (query-cardinality partitions), not a global
+    sort; mirrors the rank/top_k contract of the BM25 paths.
+    """
+    m = phrase_match(positions, spark, phrases)
+    w = Window.partitionBy("phrase_id").orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "phrase_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("phrase_tf").cast("long").alias("phrase_tf"),
+        )
+    )

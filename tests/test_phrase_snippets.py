@@ -1,0 +1,163 @@
+"""Phrase retrieval, snippet extraction, and facet counts: semantics against
+hand-built fixtures + a pure-Python mirror, and physical-plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.functions.snippets import _best_window, best_snippets
+from neural_search_spark.operators.facets import facet_counts
+from neural_search_spark.query.phrase import doc_term_positions, phrase_match, phrase_topk
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick brown quick brown quick"),
+        (2, "brown fox and the quick dog"),
+        (3, "nothing relevant here at all"),
+        (4, "fox quick brown fox quick brown fox"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_phrase_tf(text: str, phrase: list[str]) -> int:
+    toks = re.findall(r"\b\w+\b", text.lower())
+    n = len(phrase)
+    return sum(1 for i in range(len(toks) - n + 1) if toks[i : i + n] == phrase)
+
+
+# --- positions ---------------------------------------------------------------
+
+
+def test_doc_term_positions_are_sorted_one_based(spark, tiny_docs):
+    rows = {
+        (r.doc_id, r.term): (list(r.positions), r.doc_len)
+        for r in doc_term_positions(tiny_docs).collect()
+    }
+    assert rows[(0, "the")] == ([1, 7], 9)
+    assert rows[(1, "quick")] == ([1, 3, 5], 5)
+    assert rows[(4, "fox")] == ([1, 4, 7], 7)
+
+
+# --- phrase match ------------------------------------------------------------
+
+
+def test_phrase_tf_matches_python_sliding_window(spark, tiny_docs):
+    texts = {r.doc_id: r.text for r in tiny_docs.collect()}
+    phrases = [(0, "quick brown", 10), (1, "brown fox", 10), (2, "the quick brown fox", 10)]
+    pos = doc_term_positions(tiny_docs)
+    got = {
+        (r.phrase_id, r.doc_id): r.phrase_tf
+        for r in phrase_match(pos, spark, phrases).collect()
+    }
+    for pid, ptext, _ in phrases:
+        ptoks = ptext.split()
+        for doc_id, text in texts.items():
+            expect = _py_phrase_tf(text, ptoks)
+            assert got.get((pid, doc_id), 0) == expect, (pid, doc_id)
+
+
+def test_phrase_with_unknown_term_matches_nothing(spark, tiny_docs):
+    pos = doc_term_positions(tiny_docs)
+    assert phrase_match(pos, spark, [(0, "quick zebra", 10)]).count() == 0
+
+
+def test_phrase_missing_one_term_occurrence_is_excluded(spark, tiny_docs):
+    # doc 2 has both "quick" and "brown" but never adjacent in that order.
+    pos = doc_term_positions(tiny_docs)
+    rows = {r.doc_id for r in phrase_match(pos, spark, [(0, "quick brown", 10)]).collect()}
+    assert 2 not in rows and {0, 1, 4} <= rows
+
+
+def test_repeated_term_phrase(spark):
+    docs = spark.createDataFrame(
+        [(0, "go go go stop"), (1, "go stop go"), (2, "go go")],
+        "doc_id long, text string",
+    )
+    pos = doc_term_positions(docs)
+    got = {
+        (r.phrase_id, r.doc_id): r.phrase_tf
+        for r in phrase_match(pos, spark, [(0, "go go", 10)]).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1}
+
+
+def test_phrase_topk_rank_is_tf_desc_docid_asc(spark, tiny_docs):
+    pos = doc_term_positions(tiny_docs)
+    rows = phrase_topk(pos, spark, [(0, "quick brown", 2)]).orderBy("rank").collect()
+    assert [(r.rank, r.doc_id, r.phrase_tf) for r in rows] == [(1, 1, 2), (2, 4, 2)]
+
+
+def test_phrase_join_broadcasts_phrase_side(spark, tiny_docs):
+    pos = doc_term_positions(tiny_docs)
+    plan = _plan(phrase_match(pos, spark, [(0, "quick brown", 10)]))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- snippets ----------------------------------------------------------------
+
+
+def test_best_window_picks_max_distinct_then_earliest():
+    toks = "a x b x x a b c x a".split()
+    # candidates: positions of {a,b,c}; window 3 starting at pos 6 covers a,b,c
+    assert _best_window(toks, ["a", "b", "c"], 3) == (6, 3)
+    # width 1: every window has 1 hit -> earliest matched position wins
+    assert _best_window(toks, ["a", "b", "c"], 1) == (1, 1)
+
+
+def test_best_snippets_rows(spark, tiny_docs):
+    rows = {r.doc_id: r for r in best_snippets(tiny_docs, ["quick", "dog"], window=4).collect()}
+    assert 3 not in rows  # no query term -> dropped
+    assert rows[2].start == 5 and rows[2].n_hits == 2
+    assert rows[2].snippet == "quick dog"  # window runs past the end: truncated
+    # doc 0: quick@2, dog@9 -> no 4-window covers both; earliest 1-hit start wins
+    assert rows[0].start == 2 and rows[0].n_hits == 1
+    assert rows[0].snippet == "quick brown fox jumps"
+
+
+def test_best_snippets_zero_shuffle(spark, tiny_docs):
+    plan = _plan(best_snippets(tiny_docs, ["quick"], window=4))
+    assert "Exchange" not in plan
+
+
+# --- facets ------------------------------------------------------------------
+
+
+def test_facet_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "en", "a"), (1, "en", "b"), (2, "de", "a"), (3, "de", "a")],
+        "doc_id long, lang string, source string",
+    )
+    results = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (1, 2), (1, 3)], "query_id int, doc_id long"
+    )
+    got = {
+        (r.query_id, r.facet, r.value): r.n_docs
+        for r in facet_counts(results, docs, ["lang", "source"]).collect()
+    }
+    assert got == {
+        (0, "lang", "en"): 2,
+        (0, "lang", "de"): 1,
+        (0, "source", "a"): 2,
+        (0, "source", "b"): 1,
+        (1, "lang", "de"): 2,
+        (1, "source", "a"): 2,
+    }
+
+
+def test_facet_counts_broadcasts_results_not_corpus(spark):
+    docs = spark.createDataFrame([(0, "en", "a")], "doc_id long, lang string, source string")
+    results = spark.createDataFrame([(0, 0)], "query_id int, doc_id long")
+    plan = _plan(facet_counts(results, docs, ["lang", "source"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
