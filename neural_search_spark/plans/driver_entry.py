@@ -1039,6 +1039,63 @@ LEFT JOIN ideal i ON i.query_id = a.query_id
 )
 
 
+# --- merge equivalence: partial builds + merge == fresh build ----------------
+# Split the corpus into url-disjoint halves (even/odd doc_id, zero-padded 'u'
+# urls so url order == original doc_id order), build each half into its own
+# physical index, merge WITHOUT retokenizing (index/merge.py: B's compressed
+# blocks reused verbatim at a shard-aligned id shift), then WAND-query the
+# merged index. Oracle: a from-scratch SQL build over the whole corpus —
+# the merged index must be query-identical per url at rounded scores.
+
+
+def q_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..index.merge import merge_indexes
+    from ..query.bm25_wand import bm25_topk_wand
+
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    half_a = base.where(F.col("doc_id") % 2 == 0).select("url", "text")
+    half_b = base.where(F.col("doc_id") % 2 == 1).select("url", "text")
+
+    root = tempfile.mkdtemp(prefix="nss_entry_merge_")
+    layout = IndexLayout(docs_per_shard=128, block_size=32)
+    build_index(half_a, f"{root}/a", layout=layout, n_buckets=8)
+    build_index(half_b, f"{root}/b", layout=layout, n_buckets=8)
+    idx = merge_indexes(spark, f"{root}/a", f"{root}/b", f"{root}/m")
+
+    mq = [(q, t, k + _WAND_TIE_MARGIN) for q, t, k in ENTRY_QUERIES]
+    cand = bm25_topk_wand(idx, _queries_df(spark, mq), positive_only=False)
+    per_doc = cand.join(idx.docmap.select("doc_id", "url"), "doc_id").select(
+        "query_id", "url", F.round("score", 4).alias("score")
+    )
+    k_df = spark.createDataFrame(
+        [(q, k) for q, _t, k in ENTRY_QUERIES], "query_id int, top_k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("top_k"))
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "url", "score")
+    )
+
+
+# the zero-padded url is monotone with doc_id, so the fresh-build oracle is
+# the standard match-mode BM25 ranking with the url derived from doc_id
+SQL_MERGE_EQUIVALENCE = _bm25_sql(
+    "SELECT query_id, rank, 'u' || lpad(doc_id::VARCHAR, 6, '0') AS url, score"
+    " FROM ranked WHERE rank <= top_k",
+    positive_only=False,
+)
+
+
 # --- Fulltext extensions: phrase queries, snippets, facets -------------------
 
 # Phrase set over the documents vocabulary: a frequent bigram, another
@@ -1191,6 +1248,7 @@ def base_queries() -> dict:
         "phrase_topk": q_phrase_topk,
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
+        "merge_equivalence": q_merge_equivalence,
     }
 
 
@@ -1216,4 +1274,5 @@ def base_oracles() -> dict:
         "phrase_topk": SQL_PHRASE_TOPK,
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
+        "merge_equivalence": SQL_MERGE_EQUIVALENCE,
     }
