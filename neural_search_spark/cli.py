@@ -94,6 +94,26 @@ def cmd_remove(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    from .index.merge import merge_indexes
+
+    spark = _spark("nss-merge")
+    idx = merge_indexes(
+        spark, args.a, args.b, args.output, check_disjoint=not args.no_disjoint_check
+    )
+    print(
+        json.dumps(
+            {
+                "n_docs": idx.stats.n_docs,
+                "avgdl": idx.stats.avgdl,
+                "terms": idx.terms.count(),
+                "posting_blocks": idx.postings.count(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     from .index.build import load_index
     from .query.bm25_wand import bm25_topk_wand
@@ -280,6 +300,17 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--urls", required=True)
     common(r)
     r.set_defaults(fn=cmd_remove)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--a", required=True, help="first index dir (keeps its ids)")
+    m.add_argument("--b", required=True, help="second index dir (ids shifted)")
+    m.add_argument("--output", required=True)
+    m.add_argument(
+        "--no-disjoint-check",
+        action="store_true",
+        help="skip the url-overlap guard join (inputs known disjoint)",
+    )
+    m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
