@@ -1226,6 +1226,106 @@ fc AS (
 )
 
 
+# --- More-like-this: document-as-query relevance feedback --------------------
+
+# Over the rare-term-augmented corpus (the raw vocabulary is degenerate:
+# every idf negative, so tf*idf term selection would pick the *least*
+# frequent term of each doc — deterministic but signal-free). The zq rare
+# terms have positive idf, so selection prefers them and retrieval surfaces
+# the doc_id % 7 congruence classes — a real similarity structure.
+ENTRY_MLT_SOURCES = [3, 17, 42]
+_MLT_M, _MLT_K = 4, 8
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-k similar docs (``query/mlt.py``): top-m tf·idf term
+    selection then BM25 retrieval with the source doc excluded; both rank
+    windows decided on 4dp-rounded values (oracle-reproducible)."""
+    from ..query.mlt import more_like_this
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    src = spark.createDataFrame([(s,) for s in ENTRY_MLT_SOURCES], "src_id int")
+    return more_like_this(idx, src, m=_MLT_M, k=_MLT_K, positive_only=False)
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+src(src_id) AS (VALUES {", ".join(f"({s})" for s in ENTRY_MLT_SOURCES)}),
+sel AS (
+  SELECT s.src_id, tf.term, f.idf,
+         row_number() OVER (
+           PARTITION BY s.src_id
+           ORDER BY round(tf.tf * f.idf, 4) DESC, tf.term ASC
+         ) AS trank
+  FROM src s
+  JOIN tf ON tf.doc_id = s.src_id
+  JOIN fidf f ON f.term = tf.term
+),
+qsel AS (SELECT src_id, term, idf FROM sel WHERE trank <= {_MLT_M}),
+contrib AS (
+  SELECT q.src_id, tf.doc_id,
+         q.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM qsel q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE tf.doc_id <> q.src_id
+),
+scored AS (SELECT src_id, doc_id, sum(c) AS score FROM contrib GROUP BY src_id, doc_id),
+ranked AS (
+  SELECT src_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY src_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT src_id, rank, doc_id, score FROM ranked WHERE rank <= {_MLT_K}
+"""
+
+
+# --- Fuzzy term suggestion ("did you mean") ----------------------------------
+
+# An exact vocab term (distance 0 first), three single-typo forms
+# (substitution / insertion-repair / deletion-repair), one two-candidate
+# term ('ag' -> 'a' and 'agg', exercises the df-desc tie), and one with no
+# suggestion at all (group vanishes on both engines).
+ENTRY_SUGGEST_TERMS = ["merge", "sparc", "windw", "rows", "ag", "xyzzy"]
+_SUGGEST_N = 3
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style deletion-neighborhood suggestion (``query/suggest.py``).
+    The oracle below uses the OTHER algorithm (brute levenshtein over the
+    vocabulary), so the gate verifies neighborhood completeness too."""
+    from ..query.suggest import term_suggest
+
+    idx = build_logical_index(_docs(spark, sf_dir))
+    q = spark.createDataFrame(
+        [(t,) for t in ENTRY_SUGGEST_TERMS], "q_term string"
+    )
+    return term_suggest(idx.terms, q, n=_SUGGEST_N, max_dist=1)
+
+
+SQL_TERM_SUGGEST = f"""
+WITH {_BASE_CTES},
+q(q_term) AS (VALUES {", ".join(f"('{t}')" for t in ENTRY_SUGGEST_TERMS)}),
+cand AS (
+  SELECT q.q_term, f.term AS suggestion,
+         levenshtein(q.q_term, f.term) AS distance, f.df
+  FROM q CROSS JOIN fidf f
+  WHERE levenshtein(q.q_term, f.term) <= 1
+),
+ranked AS (
+  SELECT q_term, suggestion, distance, df,
+         row_number() OVER (
+           PARTITION BY q_term ORDER BY distance ASC, df DESC, suggestion ASC
+         ) AS rank
+  FROM cand
+)
+SELECT q_term, rank, suggestion, distance, df FROM ranked WHERE rank <= {_SUGGEST_N}
+"""
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1249,6 +1349,8 @@ def base_queries() -> dict:
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
         "merge_equivalence": q_merge_equivalence,
+        "more_like_this": q_more_like_this,
+        "term_suggest": q_term_suggest,
     }
 
 
@@ -1275,4 +1377,6 @@ def base_oracles() -> dict:
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
+        "more_like_this": SQL_MORE_LIKE_THIS,
+        "term_suggest": SQL_TERM_SUGGEST,
     }

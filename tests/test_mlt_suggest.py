@@ -1,0 +1,130 @@
+"""More-like-this (query/mlt.py) and fuzzy term suggestion (query/suggest.py):
+semantics against brute-force references, determinism, and the plan shapes
+the 100 TB story depends on (broadcast query sides, no corpus shuffle before
+the score agg)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.stats import build_logical_index
+from neural_search_spark.query.mlt import mlt_select_terms, more_like_this
+from neural_search_spark.query.suggest import term_suggest, vocab_variant_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def mlt_index(spark):
+    # docs 0/1 share the rare term pair (zebra quark), doc 2 shares only
+    # zebra, doc 3 is common-terms-only, doc 4 shares nothing selected
+    rows = [
+        (0, "zebra quark the the the data data"),
+        (1, "quark zebra data the the the the"),
+        (2, "zebra the data data data the the"),
+        (3, "the the the data data data the"),
+        (4, "unrelated words entirely here yes"),
+        # common-only filler keeps zebra/quark df in the minority so their
+        # idfs stay positive (raw idf flips negative at df > N/2)
+        (5, "the data the data the"),
+        (6, "data the data the data"),
+        (7, "the the data data the"),
+        (8, "data data the the data"),
+        (9, "the data data the the"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    return build_logical_index(corpus, persist=True)
+
+
+def test_mlt_selects_top_tfidf_terms(spark, mlt_index):
+    src = spark.createDataFrame([(0,)], "src_id int")
+    sel = mlt_select_terms(mlt_index, src, m=2).collect()
+    # doc 0 terms: zebra(df2->high idf), quark(df2), the(df5), data(df4);
+    # tf*idf ranks the two rare terms first
+    assert sorted(r["term"] for r in sel) == ["quark", "zebra"]
+
+
+def test_mlt_excludes_source_and_ranks_sharers_first(spark, mlt_index):
+    src = spark.createDataFrame([(0,)], "src_id int")
+    res = more_like_this(mlt_index, src, m=2, k=10).collect()
+    ids = [r["doc_id"] for r in res]
+    assert 0 not in ids  # source excluded
+    assert ids[0] == 1  # shares both selected terms
+    assert ids[1] == 2  # shares one
+    assert 4 not in ids  # shares none -> never a candidate
+
+
+def test_mlt_positive_only_cut(spark, mlt_index):
+    src = spark.createDataFrame([(0,)], "src_id int")
+    allr = more_like_this(mlt_index, src, m=2, k=10, positive_only=False).count()
+    pos = more_like_this(mlt_index, src, m=2, k=10, positive_only=True)
+    assert pos.where(F.col("score") <= 0).count() == 0
+    assert pos.count() <= allr
+
+
+def test_mlt_batch_is_deterministic(spark, mlt_index):
+    src = spark.createDataFrame([(0,), (2,), (3,)], "src_id int")
+    a = sorted(map(tuple, more_like_this(mlt_index, src, m=3, k=5).collect()))
+    b = sorted(map(tuple, more_like_this(mlt_index, src, m=3, k=5).collect()))
+    assert a == b
+
+
+def test_mlt_plan_broadcasts_query_side(spark, mlt_index):
+    src = spark.createDataFrame([(0,)], "src_id int")
+    plan = _plan(more_like_this(mlt_index, src, m=2, k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+VOCAB = [
+    ("spark", 40), ("scan", 55), ("a", 90), ("agg", 30), ("window", 25),
+    ("merge", 60), ("row", 70), ("rows", 5), ("key", 80),
+]
+
+
+def _brute(q: str, n: int = 3, max_dist: int = 1):
+    import itertools
+
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[-1]
+
+    cands = [(lev(q, t), -df, t) for t, df in VOCAB if lev(q, t) <= max_dist]
+    return [(t, d, -ndf) for d, ndf, t in sorted(cands)][:n]
+
+
+@pytest.fixture(scope="module")
+def vocab_df(spark):
+    return spark.createDataFrame(VOCAB, "term string, df long")
+
+
+@pytest.mark.parametrize(
+    "q", ["spark", "spak", "sparkk", "par", "ro", "row", "a", "zz", "wind0w"]
+)
+def test_suggest_matches_brute_force(spark, vocab_df, q):
+    qdf = spark.createDataFrame([(q,)], "q_term string")
+    got = [
+        (r["suggestion"], r["distance"], r["df"])
+        for r in term_suggest(vocab_df, qdf, n=3).orderBy("rank").collect()
+    ]
+    assert got == _brute(q), f"{q}: {got} vs {_brute(q)}"
+
+
+def test_suggest_deletion_neighborhood_is_vocab_bounded(spark, vocab_df):
+    # |variants| <= sum(len(term) + 1): corpus-size-independent index
+    n = vocab_variant_table(vocab_df).count()
+    assert n <= sum(len(t) + 1 for t, _ in VOCAB)
+
+
+def test_suggest_plan_broadcasts_query_side(spark, vocab_df):
+    qdf = spark.createDataFrame([("spak",)], "q_term string")
+    plan = _plan(term_suggest(vocab_df, qdf))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
