@@ -1283,6 +1283,63 @@ SELECT src_id, rank, doc_id, score FROM ranked WHERE rank <= {_MLT_K}
 """
 
 
+# --- Prefix (wildcard) queries -----------------------------------------------
+
+# 'zq' expands to all seven rare zq{0..6} terms (multi-term scoring), 'win'
+# to the single common term 'window', 'qx' to nothing (empty group).
+ENTRY_PREFIXES: list[tuple[int, str, int]] = [(0, "zq", 8), (1, "win", 6), (2, "qx", 5)]
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-expansion BM25 top-k (``query/prefix.py``) over the rare-term-
+    augmented corpus: vocabulary-side expansion join (broadcast prefixes),
+    then the standard one-shuffle scoring plan."""
+    from ..query.prefix import prefix_topk
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    q = spark.createDataFrame(
+        ENTRY_PREFIXES, "query_id int, prefix string, top_k int"
+    )
+    ranked = prefix_topk(idx, q, positive_only=False, round_to=4)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_PREFIX_TOPK = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+q(query_id, prefix, top_k) AS (VALUES
+  {", ".join(f"({i}, '{p}', {k})" for i, p, k in ENTRY_PREFIXES)}),
+expanded AS (
+  SELECT q.query_id, q.top_k, f.term, f.idf
+  FROM q JOIN fidf f ON f.term LIKE q.prefix || '%'
+),
+contrib AS (
+  SELECT e.query_id, e.top_k, tf.doc_id,
+         e.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM expanded e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, round(sum(c), 4) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 # --- Fuzzy term suggestion ("did you mean") ----------------------------------
 
 # An exact vocab term (distance 0 first), three single-typo forms
@@ -1351,6 +1408,7 @@ def base_queries() -> dict:
         "merge_equivalence": q_merge_equivalence,
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
+        "prefix_topk": q_prefix_topk,
     }
 
 
@@ -1379,4 +1437,5 @@ def base_oracles() -> dict:
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
         "more_like_this": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,
+        "prefix_topk": SQL_PREFIX_TOPK,
     }

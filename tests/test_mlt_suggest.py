@@ -79,6 +79,46 @@ def test_mlt_plan_broadcasts_query_side(spark, mlt_index):
     assert "SortMergeJoin" not in plan
 
 
+def test_prefix_expands_and_ranks(spark, mlt_index):
+    from neural_search_spark.query.prefix import expand_prefix, prefix_topk
+
+    q = spark.createDataFrame(
+        [(0, "z", 10), (1, "qu", 10), (2, "nope", 10)],
+        "query_id int, prefix string, top_k int",
+    )
+    exp = expand_prefix(mlt_index.terms, q)
+    by_q = {r["query_id"]: r["term"] for r in exp.collect()}
+    assert by_q == {0: "zebra", 1: "quark"}  # 'nope' expands to nothing
+    res = prefix_topk(mlt_index, q).collect()
+    assert {r["query_id"] for r in res} == {0, 1}
+    # 'z' -> zebra: docs 0,1,2 and nothing else
+    assert sorted(r["doc_id"] for r in res if r["query_id"] == 0) == [0, 1, 2]
+
+
+def test_prefix_multi_term_sums_contributions(spark, mlt_index):
+    from neural_search_spark.query.prefix import prefix_topk
+
+    # 'z'+'qu' separately vs a prefix matching both terms is not expressible
+    # on this vocab, so check additivity directly: a doc matching two
+    # expanded terms outscores one matching a single term at equal tf/dl
+    q = spark.createDataFrame(
+        [(0, "q", 10)], "query_id int, prefix string, top_k int"
+    )
+    res = prefix_topk(mlt_index, q).orderBy("rank").collect()
+    assert [r["doc_id"] for r in res] == [0, 1]  # only quark docs
+
+
+def test_prefix_plan_shape(spark, mlt_index):
+    from neural_search_spark.query.prefix import prefix_topk
+
+    q = spark.createDataFrame(
+        [(0, "z", 10)], "query_id int, prefix string, top_k int"
+    )
+    plan = _plan(prefix_topk(mlt_index, q))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
 VOCAB = [
     ("spark", 40), ("scan", 55), ("a", 90), ("agg", 30), ("window", 25),
     ("merge", 60), ("row", 70), ("rows", 5), ("key", 80),
