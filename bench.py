@@ -167,6 +167,27 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 timings[name] = time.time() - t0
         except ImportError:
             pass
+
+        # fulltext query extensions (not in the r01 headline total)
+        try:
+            from neural_search_spark.plans.driver_entry import (
+                q_more_like_this,
+                q_phrase_topk,
+                q_prefix_topk,
+                q_term_suggest,
+            )
+
+            for name, fn in {
+                "phrase_topk": q_phrase_topk,
+                "more_like_this": q_more_like_this,
+                "term_suggest": q_term_suggest,
+                "prefix_topk": q_prefix_topk,
+            }.items():
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                timings[name] = time.time() - t0
+        except ImportError:
+            pass
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     timings.update({f"_{k}": v for k, v in extras.items()})

@@ -211,6 +211,23 @@ def cmd_serve(args) -> int:
         if text.startswith("{"):
             try:
                 req = json.loads(text)
+                if "suggest" in req:
+                    # fuzzy vocabulary suggestion ("did you mean"):
+                    # {"suggest": str, "n"?: int} -> [(term, distance, df)]
+                    sug = reader.suggest(req["suggest"], n=int(req.get("n", 3)))
+                    print(
+                        json.dumps(
+                            {
+                                "suggest": req["suggest"],
+                                "suggestions": [
+                                    {"term": t, "distance": d, "df": df}
+                                    for t, d, df in sug
+                                ],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
                 text = req["query"]
                 top_k = int(req.get("top_k", args.top_k))
                 allowed = req.get("filter_ids")

@@ -61,6 +61,21 @@ def round_half_up(values: np.ndarray, digits: int) -> np.ndarray:
     )
 
 
+def _deletion_variants(term: str) -> set[str]:
+    """The term plus every drop-one-character string (SymSpell distance-1
+    neighborhood; mirrors query/suggest.py:deletion_variants)."""
+    return {term} | {term[:i] + term[i + 1 :] for i in range(len(term))}
+
+
+def _levenshtein(s: str, t: str) -> int:
+    d = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        prev, d[0] = d[0], i
+        for j, ct in enumerate(t, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+    return d[-1]
+
+
 @dataclass
 class _ShardState:
     doc_len: np.ndarray  # dense doc_len array indexed by local doc id
@@ -72,7 +87,9 @@ class IndexReader:
     cache: TtlLruCache | None = None
     stats: dict = field(init=False)
     idf: dict = field(init=False)
+    df: dict = field(init=False)
     docs_per_shard: int = field(init=False)
+    _suggest_index: dict | None = field(init=False, default=None)
     snapshot: str = field(init=False, default="")
     _shards: dict = field(init=False, default_factory=dict)
 
@@ -101,12 +118,16 @@ class IndexReader:
         self.stats = srow
         self.docs_per_shard = int(srow["docs_per_shard"])
         terms = pq.read_table(
-            os.path.join(self.root, "term_stats"), columns=["term", "idf"]
+            os.path.join(self.root, "term_stats"), columns=["term", "df", "idf"]
         )
         self.idf = dict(
             zip(terms.column("term").to_pylist(), terms.column("idf").to_pylist())
         )
+        self.df = dict(
+            zip(terms.column("term").to_pylist(), terms.column("df").to_pylist())
+        )
         self._shards = {}
+        self._suggest_index = None
 
     def _shard_state(self, shard: int) -> _ShardState:
         import pyarrow.parquet as pq
@@ -180,6 +201,37 @@ class IndexReader:
             if self.cache is not None:
                 self.cache.set(TtlLruCache.make_postings_key(t, self.snapshot), out[t])
         return out
+
+    # -- suggestion ---------------------------------------------------------
+
+    def suggest(
+        self, term: str, n: int = 3, max_dist: int = 1
+    ) -> list[tuple[str, int, int]]:
+        """Top-n fuzzy vocabulary suggestions: [(suggestion, distance, df)].
+
+        The serving-side twin of ``query/suggest.py:term_suggest`` — same
+        SymSpell deletion-1 candidate generation (complete for
+        levenshtein <= 1), same exact-distance verify, same deterministic
+        (distance asc, df desc, term asc) order; parity is pinned in
+        tests/test_serve.py. The variant dict is built lazily per snapshot
+        (vocabulary-bounded, same order of memory as the idf dict) and
+        dropped on refresh().
+        """
+        if self._suggest_index is None:
+            idx: dict[str, list[str]] = {}
+            for t in self.idf:
+                for v in _deletion_variants(t):
+                    idx.setdefault(v, []).append(t)
+            self._suggest_index = idx
+        cands: set[str] = set()
+        for v in _deletion_variants(term):
+            cands.update(self._suggest_index.get(v, ()))
+        scored = [
+            (d, -self.df[t], t)
+            for t in cands
+            if (d := _levenshtein(term, t)) <= max_dist
+        ]
+        return [(t, d, -ndf) for d, ndf, t in sorted(scored)[:n]]
 
     # -- querying -----------------------------------------------------------
 

@@ -278,3 +278,22 @@ def test_cli_warmup(idx_dir, tmp_path):
     assert proc.returncode == 0, proc.stderr
     info = json.loads(proc.stdout.strip().splitlines()[-1])
     assert info["n_shards"] > 0 and info["posting_bytes_touched"] > 0
+
+
+def test_cli_serve_suggest_request(idx_dir):
+    """A {"suggest": term} line returns fuzzy vocabulary suggestions."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "5"],
+        input='{"suggest": "w005", "n": 2}\n',
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[0])
+    expect = IndexReader(idx_dir).suggest("w005", n=2)
+    got = [(s["term"], s["distance"], s["df"]) for s in out["suggestions"]]
+    assert got == expect and len(got) > 0

@@ -139,3 +139,29 @@ def test_reader_latency_ms(served):
         reader.query("w0005 w0010", top_k=10)
     per_query_ms = (time.time() - t0) / n * 1000
     assert per_query_ms < 250, per_query_ms  # generous bound for CI noise
+
+
+def test_reader_suggest_matches_spark_path(spark, served):
+    """Serving-side SymSpell suggestion == the Spark term_suggest operator:
+    same candidates, same (distance asc, df desc, term asc) order."""
+    from neural_search_spark.query.suggest import term_suggest
+
+    index, reader = served
+    qterms = ["w0005", "w005", "w0005x", "v0001", "zzzzzz"]
+    qdf = spark.createDataFrame([(t,) for t in qterms], "q_term string")
+    rows = term_suggest(index.terms, qdf, n=3).orderBy("q_term", "rank").collect()
+    expect: dict[str, list] = {}
+    for r in rows:
+        expect.setdefault(r["q_term"], []).append(
+            (r["suggestion"], r["distance"], r["df"])
+        )
+    for t in qterms:
+        assert reader.suggest(t, n=3) == expect.get(t, []), t
+
+
+def test_reader_suggest_index_drops_on_refresh(served):
+    _, reader = served
+    reader.suggest("w0005")
+    assert reader._suggest_index is not None
+    reader.refresh()
+    assert reader._suggest_index is None
