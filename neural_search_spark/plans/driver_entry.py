@@ -1340,6 +1340,106 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+# --- Boolean queries (+must -must_not should) --------------------------------
+
+# must on a rare term, exclusion of a rare term, two common musts + a
+# should, an unknown must (empty by construction), and a pure
+# exclusion + should mix.
+ENTRY_BOOL_QUERIES: list[tuple[int, str, int]] = [
+    (0, "+zq1 window", 8),
+    (1, "window -zq1", 8),
+    (2, "+window +merge table", 8),
+    (3, "+nosuchterm window", 5),
+    (4, "-window zq2", 8),
+]
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean retrieval (``query/boolean.py``) over the
+    rare-term-augmented corpus: must-coverage filter + must_not anti-join +
+    the standard one-shuffle scoring agg, ranks on 4dp-rounded scores."""
+    from ..query.boolean import bm25_topk_bool, bool_terms_df
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    bt = bool_terms_df(spark, ENTRY_BOOL_QUERIES)
+    ranked = bm25_topk_bool(idx, bt, positive_only=False, round_to=4)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _bool_values_sql() -> str:
+    from ..query.boolean import parse_bool_query
+
+    rows = []
+    for qid, text, k in ENTRY_BOOL_QUERIES:
+        counts: dict[tuple[str, str], int] = {}
+        for clause, term in parse_bool_query(text):
+            counts[(clause, term)] = counts.get((clause, term), 0) + 1
+        rows.extend(
+            f"({qid}, {k}, '{clause}', '{term}', {qtf})"
+            for (clause, term), qtf in sorted(counts.items())
+        )
+    return ", ".join(rows)
+
+
+SQL_BOOL_TOPK = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+bq(query_id, top_k, clause, term, qtf) AS (VALUES {_bool_values_sql()}),
+mustn AS (
+  SELECT query_id,
+         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_must
+  FROM bq GROUP BY query_id
+),
+matched AS (
+  SELECT b.query_id, b.top_k, b.clause, b.term, b.qtf,
+         tf.doc_id, tf.tf, f.idf, dl.doc_len
+  FROM bq b
+  JOIN fidf f ON f.term = b.term
+  JOIN tf ON tf.term = b.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  WHERE b.clause <> 'must_not'
+),
+mc AS (
+  SELECT query_id, doc_id,
+         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_have
+  FROM matched GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id,
+         sum(qtf * idf * (tf * ({K1} + 1))
+             / (tf + {K1} * (1 - {B} + {B} * doc_len / (SELECT avgdl FROM cstats)))) AS score
+  FROM matched GROUP BY query_id, top_k, doc_id
+),
+excl AS (
+  SELECT DISTINCT b.query_id, tf.doc_id
+  FROM bq b JOIN tf ON tf.term = b.term WHERE b.clause = 'must_not'
+),
+elig AS (
+  SELECT s.query_id, s.top_k, s.doc_id, s.score
+  FROM scored s
+  JOIN mc ON mc.query_id = s.query_id AND mc.doc_id = s.doc_id
+  JOIN mustn ON mustn.query_id = s.query_id
+  WHERE mc.n_have = mustn.n_must
+    AND NOT EXISTS (
+      SELECT 1 FROM excl e
+      WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
+    )
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM elig
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 # --- Fuzzy term suggestion ("did you mean") ----------------------------------
 
 # An exact vocab term (distance 0 first), three single-typo forms
@@ -1409,6 +1509,7 @@ def base_queries() -> dict:
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
         "prefix_topk": q_prefix_topk,
+        "bool_topk": q_bool_topk,
     }
 
 
@@ -1438,4 +1539,5 @@ def base_oracles() -> dict:
         "more_like_this": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,
         "prefix_topk": SQL_PREFIX_TOPK,
+        "bool_topk": SQL_BOOL_TOPK,
     }

@@ -168,3 +168,76 @@ def test_suggest_plan_broadcasts_query_side(spark, vocab_df):
     plan = _plan(term_suggest(vocab_df, qdf))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- boolean queries (query/boolean.py) --------------------------------------
+
+
+def test_parse_bool_query():
+    from neural_search_spark.query.boolean import parse_bool_query
+
+    assert parse_bool_query("+zebra quark -the") == [
+        ("must", "zebra"), ("should", "quark"), ("must_not", "the"),
+    ]
+    # a segment may tokenize to several terms, all inheriting its clause
+    assert parse_bool_query("+a-b") == [("must", "a"), ("must", "b")]
+    assert parse_bool_query("-x,y") == [("must_not", "x"), ("must_not", "y")]
+
+
+def test_bool_must_and_must_not(spark, mlt_index):
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    # corpus recap: zebra in {0,1,2}, quark in {0,1}, data everywhere but 4
+    cases = {
+        0: ("+zebra +quark", {0, 1}),         # both required
+        1: ("+zebra -quark", {2}),            # zebra minus quark docs
+        2: ("zebra -quark", {2}),             # should-scored, same exclusion
+        3: ("+nosuchterm zebra", set()),      # unknown must empties
+        4: ("+quark", {0, 1}),                # single must
+    }
+    bt = bool_terms_df(spark, [(q, t, 10) for q, (t, _) in cases.items()])
+    res = bm25_topk_bool(mlt_index, bt).collect()
+    got: dict[int, set] = {}
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for q, (_, expect) in cases.items():
+        assert got.get(q, set()) == expect, f"query {q}"
+
+
+def test_bool_pure_should_matches_flat_bm25(spark, mlt_index):
+    """With no +/- clauses, boolean retrieval degenerates to the flat
+    match-mode BM25 path — identical docs and scores."""
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    text = "zebra quark data"
+    bt = bool_terms_df(spark, [(0, text, 10)])
+    got = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_bool(mlt_index, bt).collect()
+    }
+    q = spark.createDataFrame(
+        [(0, text, 10)], "query_id int, query_text string, top_k int"
+    )
+    expect = {
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(
+            mlt_index.doc_terms, mlt_index.terms, q,
+            stats=mlt_index.stats, positive_only=False,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_bool_plan_broadcasts_clause_table(spark, mlt_index):
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    bt = bool_terms_df(spark, [(0, "+zebra -quark data", 5)])
+    plan = _plan(bm25_topk_bool(mlt_index, bt))
+    assert "Broadcast" in plan
+    # the corpus-side term joins must broadcast the clause table; the
+    # (query_id, doc_id)-keyed eligibility joins MAY sort-merge — they share
+    # the score agg's partitioning, so no extra corpus exchange. What must
+    # never appear is a term-keyed shuffle JOIN (a term-keyed exchange still
+    # exists for the vocabulary df/idf aggregation — that one is vocab-sized).
+    assert "SortMergeJoin [term" not in plan
