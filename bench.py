@@ -171,6 +171,7 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         # fulltext query extensions (not in the r01 headline total)
         try:
             from neural_search_spark.plans.driver_entry import (
+                q_bool_topk,
                 q_more_like_this,
                 q_phrase_topk,
                 q_prefix_topk,
@@ -182,6 +183,7 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 "more_like_this": q_more_like_this,
                 "term_suggest": q_term_suggest,
                 "prefix_topk": q_prefix_topk,
+                "bool_topk": q_bool_topk,
             }.items():
                 t0 = time.time()
                 fn(spark, sf_dir).count()

@@ -231,14 +231,25 @@ def cmd_serve(args) -> int:
                 text = req["query"]
                 top_k = int(req.get("top_k", args.top_k))
                 allowed = req.get("filter_ids")
+                use_bool = bool(req.get("bool"))
             except (ValueError, KeyError) as e:
                 print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
                 continue
+        else:
+            use_bool = False
         t0 = time.perf_counter()
-        hits = reader.query(
-            text, top_k=top_k, positive_only=not args.match_all,
-            allowed_docs=allowed,
-        )
+        if use_bool:
+            # {"query": "+must -not should", "bool": true}: Lucene-style
+            # clause syntax via IndexReader.query_bool
+            hits = reader.query_bool(
+                text, top_k=top_k, positive_only=not args.match_all,
+                allowed_docs=allowed,
+            )
+        else:
+            hits = reader.query(
+                text, top_k=top_k, positive_only=not args.match_all,
+                allowed_docs=allowed,
+            )
         ms = (time.perf_counter() - t0) * 1000
         print(
             json.dumps(

@@ -302,6 +302,93 @@ class IndexReader:
             self.cache.set(skey, result)
         return result
 
+    def query_bool(
+        self,
+        text: str,
+        top_k: int = 10,
+        positive_only: bool = False,
+        score_rounding: int | None = None,
+        allowed_docs=None,
+    ) -> list[tuple[int, float]]:
+        """Boolean serving twin of ``query/boolean.py:bm25_topk_bool``:
+        ``+term`` must appear, ``-term`` must not, bare terms score
+        optionally — same eligibility and scoring semantics as the cluster
+        operator (parity pinned in tests/test_serve.py).
+
+        Must-eligibility is the numpy intersection of the must terms'
+        posting id arrays (folded into ``_score``'s pre-rank ``allowed``
+        filter, composing with caller ``allowed_docs``); must_not is an
+        ``excluded`` id drop. An unknown must term returns [] immediately
+        (no doc can contain it). Results are whole-result cached under a
+        ``bool:`` keyspace so flat queries never collide.
+        """
+        from .boolean import parse_bool_query
+
+        if self.cache is not None:
+            adig = None
+            if allowed_docs is not None:
+                arr = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
+                allowed_docs = arr
+                adig = hashlib.md5(arr.tobytes()).hexdigest()
+            skey = TtlLruCache.make_search_key(
+                f"bool:{text}", top_k, positive_only, self.snapshot,
+                filters={"ids": adig} if adig else None,
+                score_rounding=score_rounding,
+            )
+            hit = self.cache.get(skey)
+            if hit is not None:
+                return hit
+
+        counts: dict[tuple[str, str], int] = {}
+        for clause, term in parse_bool_query(text):
+            counts[(clause, term)] = counts.get((clause, term), 0) + 1
+        must_terms = sorted({t for c, t in counts if c == "must"})
+        not_terms = sorted({t for c, t in counts if c == "must_not"})
+        if any(t not in self.idf for t in must_terms):
+            result: list[tuple[int, float]] = []
+        else:
+            # qtf sums across must+should clauses (per-occurrence semantics,
+            # identical to the clause-table join in the cluster operator)
+            qterms: dict[str, tuple[int, float]] = {}
+            for (clause, term), qtf in counts.items():
+                if clause == "must_not" or term not in self.idf:
+                    continue
+                if self.idf[term] == 0.0 and positive_only:
+                    continue
+                prev = qterms.get(term, (0, self.idf[term]))
+                qterms[term] = (prev[0] + qtf, prev[1])
+
+            post = self._postings_for(sorted(set(must_terms) | set(not_terms)))
+
+            def _ids_of(term: str) -> np.ndarray:
+                parts = [ids for _shard, ids, _tfs in post[term]]
+                return (
+                    np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+                )
+
+            allowed = None
+            if allowed_docs is not None:
+                allowed = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
+            for t in must_terms:
+                have = _ids_of(t)
+                allowed = have if allowed is None else np.intersect1d(allowed, have)
+            excluded = (
+                np.unique(np.concatenate([_ids_of(t) for t in not_terms]))
+                if not_terms
+                else None
+            )
+            empty_allowed = allowed is not None and allowed.size == 0
+            result = (
+                self._score(
+                    qterms, top_k, positive_only, score_rounding, allowed, excluded
+                )
+                if qterms and not empty_allowed
+                else []
+            )
+        if self.cache is not None:
+            self.cache.set(skey, result)
+        return result
+
     def warm(
         self, queries: list[str] | None = None, preload_postings: bool = False
     ) -> dict:
@@ -354,6 +441,7 @@ class IndexReader:
         positive_only: bool,
         score_rounding: int | None = None,
         allowed: np.ndarray | None = None,
+        excluded: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
@@ -395,6 +483,11 @@ class IndexReader:
         scores = np.concatenate(out_scores)
         if allowed is not None:
             keep = np.isin(ids, allowed, assume_unique=False)
+            ids, scores = ids[keep], scores[keep]
+            if ids.size == 0:
+                return []
+        if excluded is not None and excluded.size:
+            keep = ~np.isin(ids, excluded, assume_unique=False)
             ids, scores = ids[keep], scores[keep]
             if ids.size == 0:
                 return []

@@ -297,3 +297,23 @@ def test_cli_serve_suggest_request(idx_dir):
     expect = IndexReader(idx_dir).suggest("w005", n=2)
     got = [(s["term"], s["distance"], s["df"]) for s in out["suggestions"]]
     assert got == expect and len(got) > 0
+
+
+def test_cli_serve_bool_request(idx_dir):
+    """A {"query": ..., "bool": true} line uses clause syntax on the replica."""
+    import json
+    import subprocess
+    import sys
+
+    req = json.dumps({"query": "+w0005 -w0010", "top_k": 5, "bool": True})
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "5", "--match-all"],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[0])
+    expect = IndexReader(idx_dir).query_bool("+w0005 -w0010", top_k=5)
+    assert [(h["doc_id"], h["score"]) for h in out["hits"]] == expect
+    assert len(expect) > 0

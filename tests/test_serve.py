@@ -165,3 +165,43 @@ def test_reader_suggest_index_drops_on_refresh(served):
     assert reader._suggest_index is not None
     reader.refresh()
     assert reader._suggest_index is None
+
+
+def test_reader_query_bool_matches_cluster_op(spark, served):
+    """Serving boolean twin == query/boolean.py:bm25_topk_bool: same docs,
+    same order, same scores (1e-9)."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    index, reader = served
+    # logical view over the same corpus the physical index was built from
+    corpus = index.docmap.sparkSession.read.parquet(
+        reader.root.rsplit("/idx", 1)[0] + "/corpus"
+    )
+    idx = build_logical_index(assign_doc_ids(corpus), persist=True)
+    queries = [
+        "+w0005 w0010",
+        "+w0005 +w0010",
+        "w0005 -w0010",
+        "+nosuchterm w0005",
+        "-w0005 w0010 w0001",
+    ]
+    for qi, text in enumerate(queries):
+        bt = bool_terms_df(spark, [(qi, text, 12)])
+        expect = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_bool(idx, bt).orderBy("rank").collect()
+        ]
+        got = reader.query_bool(text, top_k=12)
+        assert [d for d, _ in got] == [d for d, _ in expect], text
+        for (_, gs), (_, es) in zip(got, expect):
+            assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_reader_query_bool_allowed_docs_compose(served):
+    _, reader = served
+    full = reader.query_bool("+w0005 w0010", top_k=100)
+    allowed = [d for d, _ in full[::2]]
+    got = reader.query_bool("+w0005 w0010", top_k=100, allowed_docs=allowed)
+    assert [d for d, _ in got] == [d for d in allowed]
