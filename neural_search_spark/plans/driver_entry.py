@@ -1158,6 +1158,94 @@ SELECT phrase_id, rank, doc_id, phrase_tf FROM (
 )
 
 
+# Proximity queries over the rare-term-augmented view: the zq suffix terms
+# sit at the end of each doc, so a (rare, common) pair's minimal covering
+# window is the distance from the last common-term occurrence to the suffix —
+# genuinely varied spans, not a wall of width-2 ties. Query 3 pairs two zq
+# terms that never co-occur (each doc carries only zq<doc_id%7>) — provably
+# empty; query 4 is the single-term degenerate (window 1).
+ENTRY_PROX_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "table hash", 5, 3),
+    (1, "zq0 join", 5, 60),
+    (2, "slow key join", 5, 8),
+    (3, "zq1 zq2", 5, 1000),
+    (4, "customer", 5, 1),
+]
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity (NEAR) top-k (``query/phrase.py:proximity_topk``):
+    linear min-cover fold over the positional posting table, integer
+    arithmetic end-to-end; the oracle uses the independent brute-force
+    occurrence-pair algorithm, so the gate checks the algorithm, not an
+    echo of it."""
+    from ..query.phrase import doc_term_positions, proximity_topk
+
+    pos = doc_term_positions(_aug_docs(spark, sf_dir), id_col="doc_id")
+    return proximity_topk(pos, spark, ENTRY_PROX_QUERIES)
+
+
+def _prox_query_values_sql() -> str:
+    rows = []
+    for qid, text, k, span in ENTRY_PROX_QUERIES:
+        for term in sorted(set(tokenize_py(text))):
+            rows.append(f"({qid}, {k}, {span}, '{term}')")
+    return (
+        "q(query_id, top_k, max_span, term) AS (VALUES " + ", ".join(rows) + ")"
+    )
+
+
+SQL_PROXIMITY_TOPK = (
+    "WITH "
+    + _AUG_CTE
+    + r""",
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '\w+')))) AS pos
+  FROM docs_aug
+),
+"""
+    + _prox_query_values_sql()
+    + """,
+nq AS (SELECT query_id, count(DISTINCT term) AS n FROM q GROUP BY query_id),
+m AS (
+  SELECT q.query_id, q.top_k, q.max_span, t.doc_id, t.pos, q.term
+  FROM toks t JOIN q ON t.term = q.term
+),
+-- brute force: a covering window's bounds are occurrences, so enumerate
+-- occurrence pairs (lo, hi) within max_span and keep those covering all n
+-- distinct query terms; min over them is the true minimal window
+pairs AS (
+  SELECT a.query_id, a.top_k, a.doc_id, a.pos AS lo, b.pos AS hi
+  FROM m a JOIN m b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+   AND b.pos >= a.pos AND b.pos - a.pos + 1 <= a.max_span
+),
+cov AS (
+  SELECT p.query_id, p.top_k, p.doc_id, p.lo, p.hi,
+         count(DISTINCT c.term) AS nt
+  FROM pairs p JOIN m c
+    ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+   AND c.pos BETWEEN p.lo AND p.hi
+  GROUP BY 1, 2, 3, 4, 5
+),
+spans AS (
+  SELECT c.query_id, c.top_k, c.doc_id, min(c.hi - c.lo + 1) AS min_window
+  FROM cov c JOIN nq ON nq.query_id = c.query_id
+  WHERE c.nt = nq.n GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, min_window,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY min_window ASC, doc_id ASC
+         ) AS rank
+  FROM spans
+)
+SELECT query_id, rank, doc_id, min_window FROM ranked WHERE rank <= top_k
+"""
+)
+
+
 def q_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-window snippet per doc (``functions/snippets.py``): max distinct
     query terms in an 8-token window, earliest-start ties, zero shuffles."""
@@ -1503,6 +1591,7 @@ def base_queries() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "search_eval": q_search_eval,
         "phrase_topk": q_phrase_topk,
+        "proximity_topk": q_proximity_topk,
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
         "merge_equivalence": q_merge_equivalence,
@@ -1533,6 +1622,7 @@ def base_oracles() -> dict:
         "rrf_fusion": SQL_RRF_FUSION,
         "search_eval": SQL_SEARCH_EVAL,
         "phrase_topk": SQL_PHRASE_TOPK,
+        "proximity_topk": SQL_PROXIMITY_TOPK,
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,

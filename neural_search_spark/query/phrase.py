@@ -141,6 +141,102 @@ def phrase_match(
     )
 
 
+def proximity_match(
+    positions: DataFrame, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """Unordered proximity ("near") match: minimal covering window per doc.
+
+    ``queries`` is ``[(query_id, text, top_k, max_span), ...]``. A document
+    matches iff some token window of length ``<= max_span`` contains at least
+    one occurrence of every *distinct* query term (Lucene's unordered
+    ``SpanNearQuery`` / the classic NEAR operator — the reference engine is
+    bag-of-words and has no positional semantics at all, so this is a
+    fulltext-index extension like ``phrase_topk``). Returns
+    ``(query_id, doc_id, min_window, top_k)`` where ``min_window`` is the
+    token length of the smallest covering window.
+
+    Spark-first shape: prune the positional posting table to the query terms
+    (scan-prunable predicate), broadcast-join the tiny (term, tid) query side,
+    then one per-(query, doc) groupBy whose fold is the textbook linear
+    min-cover scan — walk occurrences in position order keeping the last-seen
+    position of each term id; whenever all are seen, ``pos - min(last) + 1``
+    is a candidate window. Pure codegen (``aggregate``/``transform`` with an
+    index lambda); integer arithmetic end-to-end, so the DuckDB oracle —
+    which uses the independent brute-force occurrence-pair algorithm —
+    agrees exactly with no rounding reconciliation.
+    """
+    rows = []
+    for qid, text, k, span in queries:
+        terms = sorted(set(tokenize_py(text)))
+        for tid, term in enumerate(terms):
+            rows.append((qid, term, tid, len(terms), k, span))
+    qterms = spark.createDataFrame(
+        rows,
+        "query_id int, term string, tid int, n_terms int, top_k int, max_span int",
+    )
+    all_terms = sorted({r[1] for r in rows})
+
+    occ = (
+        positions.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            "top_k",
+            "max_span",
+            F.explode("positions").alias("pos"),
+            "tid",
+        )
+    )
+    grouped = occ.groupBy("query_id", "doc_id").agg(
+        F.first("n_terms").alias("n_terms"),
+        F.first("top_k").alias("top_k"),
+        F.first("max_span").alias("max_span"),
+        F.sort_array(F.collect_list(F.struct("pos", "tid"))).alias("occ"),
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(-1), F.col("n_terms")).alias("last"),
+        F.lit(2147483647).alias("best"),
+    )
+
+    def step(acc, x):
+        new_last = F.transform(
+            acc["last"],
+            lambda v, i: F.when(i == x["tid"], x["pos"]).otherwise(v),
+        )
+        mn = F.array_min(new_last)
+        cand = x["pos"] - mn + F.lit(1)
+        new_best = F.when(mn >= 0, F.least(acc["best"], cand)).otherwise(acc["best"])
+        return F.struct(new_last.alias("last"), new_best.alias("best"))
+
+    folded = grouped.withColumn(
+        "min_window", F.aggregate("occ", init, step)["best"]
+    )
+    return folded.where(F.col("min_window") <= F.col("max_span")).select(
+        "query_id", "doc_id", "min_window", "top_k"
+    )
+
+
+def proximity_topk(
+    positions: DataFrame, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """Per-query top-k by (min_window ASC, doc_id ASC) — tightest span first,
+    deterministic ties. Window cut over query_id, never a global sort."""
+    m = proximity_match(positions, spark, queries)
+    w = Window.partitionBy("query_id").orderBy(F.asc("min_window"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("min_window").cast("long").alias("min_window"),
+        )
+    )
+
+
 def phrase_topk(
     positions: DataFrame, spark, phrases: list[tuple[int, str, int]]
 ) -> DataFrame:

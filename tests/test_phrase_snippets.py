@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 
 from neural_search_spark.functions.snippets import _best_window, best_snippets
 from neural_search_spark.operators.facets import facet_counts
-from neural_search_spark.query.phrase import doc_term_positions, phrase_match, phrase_topk
+from neural_search_spark.query.phrase import (
+    doc_term_positions,
+    phrase_match,
+    phrase_topk,
+    proximity_match,
+    proximity_topk,
+)
 
 
 def _plan(df) -> str:
@@ -101,6 +107,71 @@ def test_phrase_join_broadcasts_phrase_side(spark, tiny_docs):
     pos = doc_term_positions(tiny_docs)
     plan = _plan(phrase_match(pos, spark, [(0, "quick brown", 10)]))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- proximity ---------------------------------------------------------------
+
+
+def _py_min_window(text: str, terms: list[str]) -> int | None:
+    toks = re.findall(r"\b\w+\b", text.lower())
+    tset = sorted(set(terms))
+    best = None
+    for i in range(len(toks)):
+        seen = {}
+        for j in range(i, len(toks)):
+            if toks[j] in tset:
+                seen[toks[j]] = j
+            if len(seen) == len(tset):
+                w = j - i + 1
+                best = w if best is None else min(best, w)
+                break
+    return best
+
+
+def test_proximity_min_window_matches_python_scan(spark, tiny_docs):
+    texts = {r.doc_id: r.text for r in tiny_docs.collect()}
+    queries = [
+        (0, "quick brown", 10, 100),
+        (1, "fox dog", 10, 100),
+        (2, "the quick dog", 10, 100),
+        (3, "quick nosuchterm", 10, 100),
+    ]
+    pos = doc_term_positions(tiny_docs)
+    got = {
+        (r.query_id, r.doc_id): r.min_window
+        for r in proximity_match(pos, spark, queries).collect()
+    }
+    for qid, qtext, _, _ in queries:
+        terms = re.findall(r"\b\w+\b", qtext.lower())
+        for did, dtext in texts.items():
+            assert got.get((qid, did)) == _py_min_window(dtext, terms), (qid, did)
+
+
+def test_proximity_max_span_filters(spark, tiny_docs):
+    # doc 2 "brown fox and the quick dog": min window for (fox, dog) is 5;
+    # span 4 must drop it while doc 0's window-6 pair is dropped too.
+    pos = doc_term_positions(tiny_docs)
+    rows = proximity_match(pos, spark, [(0, "fox dog", 10, 4)]).collect()
+    assert rows == []
+    rows = proximity_match(pos, spark, [(0, "fox dog", 10, 5)]).collect()
+    assert [(r.doc_id, r.min_window) for r in rows] == [(2, 5)]
+
+
+def test_proximity_topk_rank_is_window_asc_docid_asc(spark, tiny_docs):
+    pos = doc_term_positions(tiny_docs)
+    rows = (
+        proximity_topk(pos, spark, [(0, "quick brown", 2, 100)])
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.rank, r.doc_id, r.min_window) for r in rows] == [(1, 0, 2), (2, 1, 2)]
+
+
+def test_proximity_broadcasts_query_side(spark, tiny_docs):
+    pos = doc_term_positions(tiny_docs)
+    plan = _plan(proximity_match(pos, spark, [(0, "quick brown", 10, 8)]))
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
