@@ -873,6 +873,75 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# --- duplicated-span removal (ExactSubstr-style) ------------------------------
+# Lee-et-al substring dedup over k-token window fingerprints. Like the other
+# text-surgery entries, both engines derive the SAME view: a shared passage
+# appended to doc_id % 4 == 0 docs and another to % 9 == 0, each >= k tokens,
+# so cross-document duplicated spans provably exist; any naturally repeated
+# k-gram in the base corpus is removed identically on both sides too.
+_SPAN_K = 6
+_SPAN_QUOTES = [
+    (4, "the quick brown fox jumps over the lazy dog tonight"),
+    (9, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+]
+
+
+def _docs_spanned(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    for mod, quote in _SPAN_QUOTES:
+        text = F.concat(
+            text,
+            F.when(F.col("doc_id") % mod == 0, F.lit(" " + quote)).otherwise(
+                F.lit("")
+            ),
+        )
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_dedup_spans(spark, sf_dir):
+    from ..operators.spans import strip_duplicated_spans
+
+    return strip_duplicated_spans(
+        _docs_spanned(spark, sf_dir), k=_SPAN_K, min_docs=2
+    ).select(F.col("doc_id").cast("long"), "n_tokens", "n_removed", "clean_text")
+
+
+_SPAN_CASES = " || ".join(
+    f"CASE WHEN doc_id % {mod} = 0 THEN ' {quote}' ELSE '' END"
+    for mod, quote in _SPAN_QUOTES
+)
+
+SQL_DEDUP_SPANS = f"""
+WITH spanned AS (SELECT doc_id, text || {_SPAN_CASES} AS text FROM documents),
+arr AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS a FROM spanned),
+wins AS (
+  SELECT doc_id, u.s, md5(array_to_string(a[u.s : u.s + {_SPAN_K} - 1], ' ')) AS fp
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - {_SPAN_K} + 1)) AS s) u
+  WHERE len(a) >= {_SPAN_K}
+),
+dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, u.p
+  FROM wins w JOIN dup USING (fp),
+       LATERAL (SELECT unnest(generate_series(w.s, w.s + {_SPAN_K} - 1)) AS p) u
+),
+toks AS (
+  SELECT doc_id, u.i AS pos, a[u.i] AS term
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) u
+),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.term, (c.p IS NOT NULL) AS is_c
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN is_c THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT is_c THEN term END, ' ' ORDER BY pos),
+                '') AS clean_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 # --- benchmark decontamination --------------------------------------------------
 # GPT-3-style n-gram overlap: docs 0-4 stand in for the evaluation set, the
 # rest is the training corpus; a training doc sharing any word 4-gram with
@@ -1240,6 +1309,7 @@ def pipeline_queries() -> dict:
         "dedup_ngram_jaccard": q_dedup_ngram,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_spans": q_dedup_spans,
         "decontaminate": q_decontaminate,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1273,6 +1343,7 @@ def pipeline_oracles() -> dict:
         "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "dedup_spans": SQL_DEDUP_SPANS,
         "decontaminate": SQL_DECONTAMINATE,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,

@@ -574,3 +574,74 @@ def test_dedup_lines_within_doc(spark):
     assert out[2]["clean_text"] == "x"
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (4, 1)
     assert out[3]["clean_text"] == "a\n\nb\nc"
+
+
+def test_strip_duplicated_spans(spark):
+    from neural_search_spark.operators.spans import (
+        duplicated_span_starts,
+        strip_duplicated_spans,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta unique zero text here"),
+        (1, "other words alpha beta gamma delta more stuff"),
+        (2, "totally different content with nothing shared"),
+        (3, "short doc"),
+        (4, "alpha beta gamma delta"),
+        (5, "x y alpha beta gamma delta z alpha beta gamma delta w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in strip_duplicated_spans(docs, k=3).collect()
+    }
+    # every doc keeps a row, even untouched or fully-covered ones
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    # "alpha beta gamma delta" recurs across docs: both 3-windows inside it
+    # are duplicated, so all 4 tokens go wherever the span appears
+    assert out[0] == (8, 4, "unique zero text here")
+    assert out[1] == (8, 4, "other words more stuff")
+    assert out[2] == (6, 0, rows[2][1])  # unique doc untouched
+    assert out[3] == (2, 0, "short doc")  # shorter than k: no windows
+    assert out[4] == (4, 4, "")  # fully covered -> empty, row kept
+    assert out[5] == (12, 8, "x y z w")  # two occurrences both removed
+    # the dup-start table only lists windows recurring across >= 2 docs
+    starts = duplicated_span_starts(docs, k=3).collect()
+    assert all(r.doc_id in {0, 1, 4, 5} for r in starts)
+
+
+def test_strip_duplicated_spans_min_docs_threshold(spark):
+    from neural_search_spark.operators.spans import strip_duplicated_spans
+
+    rows = [
+        (0, "p q r s t"),
+        (1, "p q r s t"),
+        (2, "p q r s t"),
+        (3, "solo text lives here fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold above the duplicate count: nothing is removed
+    out = {r.doc_id: r.n_removed for r in strip_duplicated_spans(docs, 3, min_docs=4).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}
+    out = {r.doc_id: r.n_removed for r in strip_duplicated_spans(docs, 3, min_docs=3).collect()}
+    assert out == {0: 5, 1: 5, 2: 5, 3: 0}
+
+
+def test_span_fingerprint_plan_shapes(spark):
+    from neural_search_spark.operators.spans import strip_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tail words everywhere here now") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        strip_duplicated_spans(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # distinct-doc count per fingerprint must partially aggregate map-side,
+    # and nothing in the pipeline may degenerate to a cartesian product
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
