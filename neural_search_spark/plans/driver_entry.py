@@ -1314,6 +1314,121 @@ fc AS (
 )
 
 
+# --- Synonym folding ----------------------------------------------------------
+
+# Over the augmented view: "merge"->"join" and "window"->"group" fold common
+# terms (floored-idf regime), "zq1"->"zq0" folds two rare terms — the folded
+# group's df roughly doubles but stays under N/2, so its idf remains positive
+# and the fold visibly re-ranks. Queries 0 and 1 ("join" vs "merge") must
+# return identical rows — the group shares one posting list by construction.
+ENTRY_SYNONYMS = {"merge": "join", "window": "group", "zq1": "zq0"}
+ENTRY_QUERIES_SYN: list[tuple[int, str, int]] = [
+    (0, "join", 10),
+    (1, "merge", 10),
+    (2, "zq0 batch", 10),
+    (3, "window group", 10),
+    (4, "zq3 nosuchterm", 5),
+]
+
+
+def q_bm25_topk_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the synonym-folded vocabulary (``query/synonyms.py``):
+    analysis-time folding on both the document and query sides, stats
+    (df/idf/average_idf) recomputed over the folded term space."""
+    from ..query.synonyms import bm25_topk_syn, synonyms_df
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    syn = synonyms_df(spark, ENTRY_SYNONYMS)
+    out = bm25_topk_syn(
+        idx, _queries_df(spark, ENTRY_QUERIES_SYN), syn,
+        positive_only=True, score_rounding=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _syn_query_values_sql() -> str:
+    rows = []
+    for qid, text, k in ENTRY_QUERIES_SYN:
+        counts: dict[str, int] = {}
+        for t in tokenize_py(text):
+            t = ENTRY_SYNONYMS.get(t, t)
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append(f"({qid}, {k}, '{term}', {qtf})")
+    return "q(query_id, top_k, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+SQL_BM25_TOPK_SYN = (
+    "WITH "
+    + _AUG_CTE
+    + ",\nsyn(term, canonical) AS (VALUES "
+    + ", ".join(
+        f"('{t}', '{c}')" for t, c in sorted(ENTRY_SYNONYMS.items())
+    )
+    + r"""),
+toks0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM docs_aug
+),
+toks AS (
+  SELECT t.doc_id, coalesce(s.canonical, t.term) AS term
+  FROM toks0 t LEFT JOIN syn s ON s.term = t.term
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM docs_aug) AS n_docs,
+         (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM docs_aug) AS avgdl
+),
+tstats AS (
+  SELECT term, count(*) AS df,
+         ln((SELECT n_docs FROM cstats) - count(*) + 0.5) - ln(count(*) + 0.5) AS raw_idf
+  FROM tf GROUP BY term
+),
+aidf AS (SELECT avg(raw_idf) AS average_idf FROM tstats),
+fidf AS (
+  SELECT term, df, raw_idf,
+         CASE WHEN raw_idf < 0 THEN """
+    + f"{EPS}"
+    + """ * (SELECT average_idf FROM aidf)
+              ELSE raw_idf END AS idf
+  FROM tstats
+),
+"""
+    + _syn_query_values_sql()
+    + f""",
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.doc_id,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+  HAVING sum(c) > 0
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+)
+
+
 # --- More-like-this: document-as-query relevance feedback --------------------
 
 # Over the rare-term-augmented corpus (the raw vocabulary is degenerate:
@@ -1599,6 +1714,7 @@ def base_queries() -> dict:
         "term_suggest": q_term_suggest,
         "prefix_topk": q_prefix_topk,
         "bool_topk": q_bool_topk,
+        "bm25_topk_syn": q_bm25_topk_syn,
     }
 
 
@@ -1630,4 +1746,5 @@ def base_oracles() -> dict:
         "term_suggest": SQL_TERM_SUGGEST,
         "prefix_topk": SQL_PREFIX_TOPK,
         "bool_topk": SQL_BOOL_TOPK,
+        "bm25_topk_syn": SQL_BM25_TOPK_SYN,
     }

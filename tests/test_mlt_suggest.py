@@ -241,3 +241,85 @@ def test_bool_plan_broadcasts_clause_table(spark, mlt_index):
     # never appear is a term-keyed shuffle JOIN (a term-keyed exchange still
     # exists for the vocabulary df/idf aggregation — that one is vocab-sized).
     assert "SortMergeJoin [term" not in plan
+
+
+# --- synonym folding ---------------------------------------------------------
+
+
+def _syn_corpus(spark):
+    rows = [
+        (0, "join the tables now"),
+        (1, "merge the tables now"),
+        (2, "join merge join"),
+        (3, "nothing about either topic"),
+        (4, "the group window closes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_synonym_members_query_identically(spark):
+    from neural_search_spark.query.synonyms import bm25_topk_syn, synonyms_df
+
+    idx = build_logical_index(_syn_corpus(spark), persist=True)
+    syn = synonyms_df(spark, {"merge": "join"})
+    qs = spark.createDataFrame(
+        [(0, "join", 10), (1, "merge", 10)], "query_id int, query_text string, top_k int"
+    )
+    rows = bm25_topk_syn(idx, qs, syn, positive_only=False).collect()
+    by_q = {0: [], 1: []}
+    for r in rows:
+        by_q[r.query_id].append((r.rank, r.doc_id, round(r.score, 9)))
+    # both group members hit the same folded posting list: identical rankings
+    assert sorted(by_q[0]) == sorted(by_q[1])
+    # docs 0, 1 and 2 all match through the fold
+    assert {d for _, d, _ in by_q[0]} == {0, 1, 2}
+
+
+def test_synonym_fold_df_is_union_not_sum(spark):
+    from neural_search_spark.query.synonyms import fold_index, synonyms_df
+
+    idx = build_logical_index(_syn_corpus(spark), persist=True)
+    syn = synonyms_df(spark, {"merge": "join"})
+    fidx = fold_index(idx, syn)
+    t = {r.term: (r.df, r.raw_idf) for r in fidx.terms.collect()}
+    # doc 2 contains both members but counts once: df = |{0,1,2}| = 3
+    assert t["join"][0] == 3
+    assert "merge" not in t
+    # group tf in doc 2 = 2 + 1
+    tf = {
+        (r.doc_id, r.term): r.tf for r in fidx.doc_terms.collect()
+    }
+    assert tf[(2, "join")] == 3
+    # doc lengths unchanged by folding
+    dl = {r.doc_id: r.doc_len for r in fidx.doc_terms.select("doc_id", "doc_len").distinct().collect()}
+    assert dl[2] == 3 and dl[0] == 4
+
+
+def test_synonym_identity_mapping_is_noop(spark):
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.synonyms import bm25_topk_syn, synonyms_df
+
+    corpus = _syn_corpus(spark)
+    idx = build_logical_index(corpus, persist=True)
+    syn = synonyms_df(spark, {"unusedterm": "alsounused"})
+    qs = spark.createDataFrame(
+        [(0, "join tables", 10), (1, "group window", 10)],
+        "query_id int, query_text string, top_k int",
+    )
+    base = bm25_topk(idx.doc_terms, idx.terms, qs, stats=idx.stats, positive_only=False)
+    fold = bm25_topk_syn(idx, qs, syn, positive_only=False)
+    b = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in base.collect())
+    f = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in fold.collect())
+    assert b == f
+
+
+def test_synonym_qtf_sums_across_variants(spark):
+    from neural_search_spark.query.synonyms import fold_query_terms, synonyms_df
+    from neural_search_spark.query.bm25_dataframe import query_terms
+
+    syn = synonyms_df(spark, {"merge": "join"})
+    qs = spark.createDataFrame(
+        [(0, "join merge join", 10)], "query_id int, query_text string, top_k int"
+    )
+    out = fold_query_terms(query_terms(qs), syn).collect()
+    assert [(r.term, r.qtf) for r in out] == [("join", 3)]
