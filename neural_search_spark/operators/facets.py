@@ -18,6 +18,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def histogram_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    interval: float,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, bucket_lo, n_docs): fixed-interval histogram of a numeric
+    metadata column over each query's result set (the Elasticsearch
+    ``histogram`` aggregation). Bucket key = floor(value / interval) *
+    interval — unbounded, empty buckets absent.
+
+    Same scale shape as ``facet_counts``: broadcast the q x k result side,
+    never shuffle the corpus; output cardinality is bounded by q x buckets.
+    """
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, value_col).join(F.broadcast(hits), id_col)
+    bucket = (F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval)).cast(
+        "long"
+    )
+    return joined.groupBy(query_col, bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def stats_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, n_docs, min_v, max_v, sum_v, avg_v): the Elasticsearch
+    ``stats`` aggregation over each query's result set. One broadcast join +
+    one bounded groupBy; avg is rounded by the caller if it crosses an
+    engine boundary."""
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, value_col).join(F.broadcast(hits), id_col)
+    v = F.col(value_col).cast("double")
+    return joined.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("avg_v"),
+    )
+
+
 def facet_counts(
     results: DataFrame,
     docs: DataFrame,

@@ -1314,6 +1314,69 @@ fc AS (
 )
 
 
+# --- Numeric facets (histogram + stats aggregations) --------------------------
+
+_HIST_INTERVAL = 200
+
+
+def q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval histogram of n_chars over the match-mode top-k result
+    sets (``operators/facets.py:histogram_facet``); broadcast result side,
+    corpus never shuffles."""
+    from ..operators.facets import histogram_facet
+
+    results = _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
+    return histogram_facet(
+        results, _docs(spark, sf_dir), "n_chars", _HIST_INTERVAL
+    ).select("query_id", "bucket_lo", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+SQL_FACET_HISTOGRAM = _bm25_sql(
+    "SELECT query_id, bucket_lo, n_docs FROM fh",
+    positive_only=False,
+    extra_cte=f""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+fh AS (
+  SELECT c.query_id,
+         (floor(d.n_chars / {_HIST_INTERVAL}.0) * {_HIST_INTERVAL})::BIGINT AS bucket_lo,
+         count(*) AS n_docs
+  FROM cut c JOIN documents d ON d.doc_id = c.doc_id GROUP BY 1, 2
+)""",
+)
+
+
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-style stats aggregation (count/min/max/sum/avg of
+    n_chars) per query result set (``operators/facets.py:stats_facet``)."""
+    from ..operators.facets import stats_facet
+
+    results = _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
+    out = stats_facet(results, _docs(spark, sf_dir), "n_chars")
+    return out.select(
+        "query_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "min_v",
+        "max_v",
+        "sum_v",
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+SQL_FACET_STATS = _bm25_sql(
+    "SELECT query_id, n_docs, min_v, max_v, sum_v, avg_v FROM fs",
+    positive_only=False,
+    extra_cte=""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+fs AS (
+  SELECT c.query_id, count(*) AS n_docs,
+         min(d.n_chars)::DOUBLE AS min_v, max(d.n_chars)::DOUBLE AS max_v,
+         sum(d.n_chars)::DOUBLE AS sum_v,
+         round(avg(d.n_chars::DOUBLE), 6) AS avg_v
+  FROM cut c JOIN documents d ON d.doc_id = c.doc_id GROUP BY 1
+)""",
+)
+
+
 # --- Synonym folding ----------------------------------------------------------
 
 # Over the augmented view: "merge"->"join" and "window"->"group" fold common
@@ -1709,6 +1772,8 @@ def base_queries() -> dict:
         "proximity_topk": q_proximity_topk,
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
+        "facet_histogram": q_facet_histogram,
+        "facet_stats": q_facet_stats,
         "merge_equivalence": q_merge_equivalence,
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
@@ -1741,6 +1806,8 @@ def base_oracles() -> dict:
         "proximity_topk": SQL_PROXIMITY_TOPK,
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
+        "facet_histogram": SQL_FACET_HISTOGRAM,
+        "facet_stats": SQL_FACET_STATS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
         "more_like_this": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,

@@ -232,3 +232,48 @@ def test_facet_counts_broadcasts_results_not_corpus(spark):
     plan = _plan(facet_counts(results, docs, ["lang", "source"]))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_histogram_facet_buckets(spark):
+    from neural_search_spark.operators.facets import histogram_facet
+
+    docs = spark.createDataFrame(
+        [(0, 120), (1, 199), (2, 200), (3, 350), (4, 401)],
+        "doc_id long, n_chars int",
+    )
+    results = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 3), (1, 3), (1, 4)],
+        "query_id int, doc_id long",
+    )
+    got = {
+        (r.query_id, r.bucket_lo): r.n_docs
+        for r in histogram_facet(results, docs, "n_chars", 200).collect()
+    }
+    # floor(v/200)*200: 120,199 -> 0; 200,350 -> 200; 401 -> 400
+    assert got == {(0, 0): 2, (0, 200): 2, (1, 200): 1, (1, 400): 1}
+
+
+def test_stats_facet_values(spark):
+    from neural_search_spark.operators.facets import stats_facet
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 40)], "doc_id long, n_chars int"
+    )
+    results = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (1, 2)], "query_id int, doc_id long"
+    )
+    got = {r.query_id: r for r in stats_facet(results, docs, "n_chars").collect()}
+    assert (got[0].n_docs, got[0].min_v, got[0].max_v, got[0].sum_v) == (3, 10.0, 40.0, 70.0)
+    assert abs(got[0].avg_v - 70.0 / 3) < 1e-9
+    assert (got[1].n_docs, got[1].min_v, got[1].max_v) == (1, 40.0, 40.0)
+
+
+def test_numeric_facets_broadcast_results_not_corpus(spark):
+    from neural_search_spark.operators.facets import histogram_facet, stats_facet
+
+    docs = spark.createDataFrame([(0, 10)], "doc_id long, n_chars int")
+    results = spark.createDataFrame([(0, 0)], "query_id int, doc_id long")
+    for df in (histogram_facet(results, docs, "n_chars", 100), stats_facet(results, docs, "n_chars")):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
