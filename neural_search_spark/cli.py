@@ -194,9 +194,10 @@ def cmd_serve(args) -> int:
             print(json.dumps({"refreshed": True, "snapshot": reader.snapshot}), flush=True)
             continue
         # a JSON object line is the structured request form (the api/search.py
-        # request-body analog): {"query": str, "top_k"?: int,
+        # request-body analog): {"query": str, "top_k"?: int, "offset"?: int,
         # "filter_ids"?: [doc_id, ...]} — filter_ids is the resolved
-        # metadata-filter id set, applied pre-rank (IndexReader.allowed_docs)
+        # metadata-filter id set, applied pre-rank (IndexReader.allowed_docs);
+        # offset paginates (ranks offset+1 .. offset+top_k)
         if limiter is not None:
             ok, retry_after = limiter.check()
             if not ok:
@@ -232,23 +233,25 @@ def cmd_serve(args) -> int:
                 top_k = int(req.get("top_k", args.top_k))
                 allowed = req.get("filter_ids")
                 use_bool = bool(req.get("bool"))
+                offset = int(req.get("offset", 0))
             except (ValueError, KeyError) as e:
                 print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
                 continue
         else:
             use_bool = False
+            offset = 0
         t0 = time.perf_counter()
         if use_bool:
             # {"query": "+must -not should", "bool": true}: Lucene-style
             # clause syntax via IndexReader.query_bool
             hits = reader.query_bool(
                 text, top_k=top_k, positive_only=not args.match_all,
-                allowed_docs=allowed,
+                allowed_docs=allowed, offset=offset,
             )
         else:
             hits = reader.query(
                 text, top_k=top_k, positive_only=not args.match_all,
-                allowed_docs=allowed,
+                allowed_docs=allowed, offset=offset,
             )
         ms = (time.perf_counter() - t0) * 1000
         print(

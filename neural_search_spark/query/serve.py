@@ -242,8 +242,13 @@ class IndexReader:
         positive_only: bool = True,
         score_rounding: int | None = None,
         allowed_docs=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
+
+        ``offset`` paginates: ranks offset+1 .. offset+top_k of the SAME
+        deterministic total order (page 2 of a query is stable across
+        requests on one snapshot). Past-the-end offsets return [].
 
         Identical semantics to ``bm25_topk_wand(positive_only=...)`` for a
         single query. With a ``cache`` attached, a repeated query string is
@@ -276,9 +281,14 @@ class IndexReader:
                 if allowed is not None
                 else None
             )
+            fkey = {}
+            if fdig:
+                fkey["ids"] = fdig
+            if offset:
+                fkey["offset"] = offset
             skey = TtlLruCache.make_search_key(
                 text, top_k, positive_only, self.snapshot,
-                filters={"ids": fdig} if fdig else None,
+                filters=fkey or None,
                 score_rounding=score_rounding,
             )
             hit = self.cache.get(skey)
@@ -294,7 +304,10 @@ class IndexReader:
             if t in self.idf and (self.idf[t] != 0.0 or not positive_only)
         }
         result = (
-            self._score(qterms, top_k, positive_only, score_rounding, allowed)
+            self._score(
+                qterms, top_k, positive_only, score_rounding, allowed,
+                offset=offset,
+            )
             if qterms
             else []
         )
@@ -309,6 +322,7 @@ class IndexReader:
         positive_only: bool = False,
         score_rounding: int | None = None,
         allowed_docs=None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Boolean serving twin of ``query/boolean.py:bm25_topk_bool``:
         ``+term`` must appear, ``-term`` must not, bare terms score
@@ -330,9 +344,14 @@ class IndexReader:
                 arr = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
                 allowed_docs = arr
                 adig = hashlib.md5(arr.tobytes()).hexdigest()
+            fkey = {}
+            if adig:
+                fkey["ids"] = adig
+            if offset:
+                fkey["offset"] = offset
             skey = TtlLruCache.make_search_key(
                 f"bool:{text}", top_k, positive_only, self.snapshot,
-                filters={"ids": adig} if adig else None,
+                filters=fkey or None,
                 score_rounding=score_rounding,
             )
             hit = self.cache.get(skey)
@@ -380,7 +399,8 @@ class IndexReader:
             empty_allowed = allowed is not None and allowed.size == 0
             result = (
                 self._score(
-                    qterms, top_k, positive_only, score_rounding, allowed, excluded
+                    qterms, top_k, positive_only, score_rounding, allowed, excluded,
+                    offset=offset,
                 )
                 if qterms and not empty_allowed
                 else []
@@ -442,6 +462,7 @@ class IndexReader:
         score_rounding: int | None = None,
         allowed: np.ndarray | None = None,
         excluded: np.ndarray | None = None,
+        offset: int = 0,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
@@ -494,6 +515,5 @@ class IndexReader:
         if score_rounding is not None:
             scores = round_half_up(scores, score_rounding)
         sel = np.lexsort((ids, -scores))
-        if ids.size > top_k:
-            sel = sel[:top_k]
+        sel = sel[offset : offset + top_k]
         return [(int(ids[i]), float(scores[i])) for i in sel]

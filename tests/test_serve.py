@@ -205,3 +205,41 @@ def test_reader_query_bool_allowed_docs_compose(served):
     allowed = [d for d, _ in full[::2]]
     got = reader.query_bool("+w0005 w0010", top_k=100, allowed_docs=allowed)
     assert [d for d, _ in got] == [d for d in allowed]
+
+
+def test_reader_pagination_tiles_the_ranking(served):
+    _, reader = served
+    text = "w0000 w0002 w0007"
+    full = reader.query(text, top_k=30, positive_only=False)
+    pages = [
+        reader.query(text, top_k=10, positive_only=False, offset=off)
+        for off in (0, 10, 20)
+    ]
+    assert pages[0] + pages[1] + pages[2] == full
+    # stability: the same page twice is identical (one snapshot)
+    assert reader.query(text, top_k=10, positive_only=False, offset=10) == pages[1]
+    # past-the-end offset is empty, not an error
+    assert reader.query(text, top_k=10, positive_only=False, offset=10_000) == []
+
+
+def test_reader_pagination_cache_keying(served):
+    from neural_search_spark.query.cache import TtlLruCache
+    from neural_search_spark.query.serve import IndexReader
+
+    reader = IndexReader(served[1].root, cache=TtlLruCache())
+    text = "w0001 w0005"
+    p0 = reader.query(text, top_k=5, positive_only=False)
+    p1 = reader.query(text, top_k=5, positive_only=False, offset=5)
+    assert p0 != p1
+    # both pages now cached; repeat hits must return their own page
+    assert reader.query(text, top_k=5, positive_only=False) == p0
+    assert reader.query(text, top_k=5, positive_only=False, offset=5) == p1
+
+
+def test_reader_bool_pagination(served):
+    _, reader = served
+    text = "+w0000 w0002"
+    full = reader.query_bool(text, top_k=20, positive_only=False)
+    p0 = reader.query_bool(text, top_k=10, positive_only=False)
+    p1 = reader.query_bool(text, top_k=10, positive_only=False, offset=10)
+    assert p0 + p1 == full
