@@ -14,7 +14,7 @@ count, whose cardinality is bounded by q x facets x values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,79 @@ def stats_facet(
         F.max(v).alias("max_v"),
         F.sum(v).alias("sum_v"),
         F.avg(v).alias("avg_v"),
+    )
+
+
+def significant_terms(
+    results: DataFrame,
+    doc_terms: DataFrame,
+    n_docs: int,
+    m: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rounding: int = 6,
+) -> DataFrame:
+    """(query_id, rank, term, fg_count, bg_count, score): terms statistically
+    overrepresented in each query's result set vs the whole corpus — the
+    Elasticsearch ``significant_terms`` aggregation with its JLH heuristic:
+
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    where fg_pct = (result docs containing the term) / (result set size) and
+    bg_pct = df / N. High JLH = common in the hits, rare in the background —
+    the "what is this result set about" facet.
+
+    Scale shape: broadcast the q x k hit list into the posting-table join
+    (the corpus-sized ``doc_terms`` never shuffles), one (query, term)
+    count agg whose input is bounded by q x k x terms-per-doc, then a
+    background-df join ON the aggregated (query-cardinality) side and a
+    per-query top-m window. Ranks are decided on the ``rounding``-rounded
+    score (term asc ties) so the order is reproducible across engines.
+    """
+    hits = results.select(query_col, id_col)
+    set_sizes = hits.groupBy(query_col).agg(
+        F.countDistinct(id_col).alias("set_size")
+    )
+    fg = (
+        doc_terms.select(id_col, "term")
+        .join(F.broadcast(hits), id_col)
+        .groupBy(query_col, "term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    bg = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("bg_count"))
+    scored = (
+        fg.join(F.broadcast(set_sizes), query_col)
+        .join(bg, "term")
+        .select(
+            query_col,
+            "term",
+            "fg_count",
+            "bg_count",
+            (
+                (
+                    F.col("fg_count") / F.col("set_size")
+                    - F.col("bg_count") / F.lit(float(n_docs))
+                )
+                * (
+                    (F.col("fg_count") / F.col("set_size"))
+                    / (F.col("bg_count") / F.lit(float(n_docs)))
+                )
+            ).alias("raw_score"),
+        )
+        .withColumn("score", F.round("raw_score", rounding))
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(
+            query_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("fg_count").cast("long").alias("fg_count"),
+            F.col("bg_count").cast("long").alias("bg_count"),
+            "score",
+        )
     )
 
 

@@ -1377,6 +1377,62 @@ fs AS (
 )
 
 
+# --- Significant terms (result-set vs background overrepresentation) ----------
+
+_SIG_M = 8
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch significant_terms with the JLH heuristic
+    (``operators/facets.py:significant_terms``) over the positive-score
+    result sets on the augmented corpus — the zq residue-class terms are
+    rare in the background and dense in their queries' hits, so they
+    surface at the top, which is exactly the aggregation's point."""
+    from ..operators.facets import significant_terms
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    results = _topk_cut(
+        _bm25_ranked(
+            spark, sf_dir, positive_only=True,
+            docs=_aug_docs(spark, sf_dir), queries=ENTRY_QUERIES_RARE,
+        )
+    )
+    return significant_terms(results, idx.doc_terms, idx.stats.n_docs, m=_SIG_M)
+
+
+SQL_SIGNIFICANT_TERMS = _bm25_sql(
+    "SELECT query_id, srank AS rank, term, fg_count, bg_count, score"
+    f" FROM sigranked WHERE srank <= {_SIG_M}",
+    src="docs_aug",
+    queries=ENTRY_QUERIES_RARE,
+    prefix_cte=_AUG_CTE + ",",
+    extra_cte=""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+ss AS (SELECT query_id, count(DISTINCT doc_id) AS set_size FROM cut GROUP BY query_id),
+fg AS (
+  SELECT c.query_id, tf.term, count(*) AS fg_count
+  FROM cut c JOIN tf ON tf.doc_id = c.doc_id GROUP BY 1, 2
+),
+bg AS (SELECT term, count(*) AS bg_count FROM tf GROUP BY term),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg_count, bg.bg_count,
+         round(
+           (fg.fg_count / ss.set_size
+              - bg.bg_count / (SELECT n_docs FROM cstats))
+           * ((fg.fg_count / ss.set_size)
+              / (bg.bg_count / (SELECT n_docs FROM cstats))), 6) AS score
+  FROM fg JOIN ss ON ss.query_id = fg.query_id JOIN bg ON bg.term = fg.term
+),
+sigranked AS (
+  SELECT query_id, term, fg_count, bg_count, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS srank
+  FROM sig
+)""",
+)
+
+
 # --- Synonym folding ----------------------------------------------------------
 
 # Over the augmented view: "merge"->"join" and "window"->"group" fold common
@@ -1774,6 +1830,7 @@ def base_queries() -> dict:
         "facet_counts": q_facet_counts,
         "facet_histogram": q_facet_histogram,
         "facet_stats": q_facet_stats,
+        "significant_terms": q_significant_terms,
         "merge_equivalence": q_merge_equivalence,
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
@@ -1808,6 +1865,7 @@ def base_oracles() -> dict:
         "facet_counts": SQL_FACET_COUNTS,
         "facet_histogram": SQL_FACET_HISTOGRAM,
         "facet_stats": SQL_FACET_STATS,
+        "significant_terms": SQL_SIGNIFICANT_TERMS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
         "more_like_this": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,

@@ -277,3 +277,37 @@ def test_numeric_facets_broadcast_results_not_corpus(spark):
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_significant_terms_prefers_concentrated_terms(spark):
+    from neural_search_spark.operators.facets import significant_terms
+
+    # 10 docs; "rare" appears only in the 3 result docs, "common" in all 10.
+    rows = []
+    for d in range(10):
+        terms = [("common", 2)]
+        if d < 3:
+            terms.append(("rare", 1))
+        for t, tf in terms:
+            rows.append((d, t, tf, 3))
+    doc_terms = spark.createDataFrame(rows, "doc_id long, term string, tf int, doc_len int")
+    results = spark.createDataFrame([(0, 0), (0, 1), (0, 2)], "query_id int, doc_id long")
+    out = significant_terms(results, doc_terms, n_docs=10, m=5).orderBy("rank").collect()
+    assert [(r.rank, r.term) for r in out] == [(1, "rare"), (2, "common")]
+    r = out[0]
+    # fg_pct = 3/3 = 1, bg_pct = 3/10 -> JLH = (1 - 0.3) * (1/0.3)
+    assert (r.fg_count, r.bg_count) == (3, 3)
+    assert abs(r.score - round((1 - 0.3) * (1 / 0.3), 6)) < 1e-9
+    # "common" is the background itself: fg_pct == bg_pct == 1 -> score 0
+    assert out[1].score == 0.0
+
+
+def test_significant_terms_broadcasts_hits_not_postings(spark):
+    from neural_search_spark.operators.facets import significant_terms
+
+    doc_terms = spark.createDataFrame(
+        [(0, "a", 1, 1)], "doc_id long, term string, tf int, doc_len int"
+    )
+    results = spark.createDataFrame([(0, 0)], "query_id int, doc_id long")
+    plan = _plan(significant_terms(results, doc_terms, n_docs=1))
+    assert "BroadcastHashJoin" in plan
