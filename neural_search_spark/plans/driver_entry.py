@@ -1805,6 +1805,56 @@ SELECT q_term, rank, suggestion, distance, df FROM ranked WHERE rank <= {_SUGGES
 """
 
 
+# --- Score explanation (Elasticsearch _explain analog) -----------------------
+
+_EXPLAIN_K = 3
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 contribution breakdown (``query/explain.py``) for the
+    top-3 hits of each positive-mode query over the augmented corpus: the
+    same contribution rows the batch plan aggregates, kept instead of
+    discarded, joined back to the rounded-rank cut."""
+    from ..query.explain import bm25_explain
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    return bm25_explain(
+        idx, _queries_df(spark, ENTRY_QUERIES_RARE), explain_k=_EXPLAIN_K
+    )
+
+
+SQL_BM25_EXPLAIN = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+{_query_values_sql(ENTRY_QUERIES_RARE)},
+contrib AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf, dl.doc_len, f.df, q.qtf, f.idf,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, doc_id
+  HAVING sum(c) > 0
+),
+cut AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS rank
+    FROM scored
+  ) WHERE rank <= {_EXPLAIN_K}
+)
+SELECT c.query_id, c.doc_id, cut.rank, c.term, c.tf, c.doc_len, c.df, c.qtf,
+       round(c.idf, 6) AS idf, round(c.c, 4) AS contrib
+FROM contrib c JOIN cut ON cut.query_id = c.query_id AND cut.doc_id = c.doc_id
+"""
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1837,6 +1887,7 @@ def base_queries() -> dict:
         "prefix_topk": q_prefix_topk,
         "bool_topk": q_bool_topk,
         "bm25_topk_syn": q_bm25_topk_syn,
+        "bm25_explain": q_bm25_explain,
     }
 
 
@@ -1872,4 +1923,5 @@ def base_oracles() -> dict:
         "prefix_topk": SQL_PREFIX_TOPK,
         "bool_topk": SQL_BOOL_TOPK,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
+        "bm25_explain": SQL_BM25_EXPLAIN,
     }

@@ -80,3 +80,43 @@ def test_single_query_wrapper(spark, indexed):
     rows = got.collect()
     want = oracle_topk(oracle, "w0001 w0002", top_k=5)
     assert_rank_identical(sorted(rows, key=lambda r: r["rank"]), want, "single")
+
+
+def test_explain_contribs_sum_to_score(spark, indexed):
+    """Explain invariant: per-hit sum(contrib) reproduces the bm25_topk score
+    (to rounding), and (query_id, doc_id, rank) triples match the search
+    result rows they explain."""
+    from collections import defaultdict
+
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.explain import bm25_explain
+
+    idx, _oracle = indexed
+    k = 3
+    # uniform top_k >= explain_k so the bm25_topk cut covers every explained hit
+    # (explain_k is independent of the query's requested k, like ES _explain)
+    qdf = spark.createDataFrame(
+        [(qid, text, k) for qid, text, _k in REFERENCE_QUERIES],
+        "query_id int, query_text string, top_k int",
+    )
+    exp_rows = bm25_explain(idx, qdf, explain_k=k, score_rounding=9).collect()
+    assert exp_rows, "explain returned no rows"
+
+    sums: dict[tuple, float] = defaultdict(float)
+    ranks: dict[tuple, int] = {}
+    for r in exp_rows:
+        key = (r["query_id"], r["doc_id"])
+        sums[key] += r["contrib"]
+        ranks[key] = r["rank"]
+
+    topk = bm25_topk(idx.doc_terms, idx.terms, qdf, stats=idx.stats).collect()
+    want = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in topk
+        if r["rank"] <= k
+    }
+    assert set(ranks) == set(want)
+    for key, (wrank, wscore) in want.items():
+        assert ranks[key] == wrank, key
+        # contribs are rounded to 4dp each; sums match to that granularity
+        assert sums[key] == pytest.approx(wscore, abs=5e-4), key
