@@ -1855,6 +1855,102 @@ FROM contrib c JOIN cut ON cut.query_id = c.query_id AND cut.doc_id = c.doc_id
 """
 
 
+# --- BM25F multi-field ranking -----------------------------------------------
+# Derived fields over the augmented corpus: first 8 tokens = 'title', rest =
+# 'body' (deterministic in both engines). Title hits get a 3x boost with
+# per-field length normalization folded BEFORE tf saturation (true BM25F,
+# not per-field score summation). The zq rare terms live in the body suffix,
+# so mixed queries (rare + common) exercise cross-field accumulation.
+
+_F_TITLE_TOKENS = 8
+_F_W_TITLE, _F_W_BODY, _F_B = 3.0, 1.0, 0.75
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F top-k (``query/bm25f.py``): per-field weighted,
+    length-normalized tfs folded into one pseudo-frequency, document-level
+    floored idf reused from the flat index."""
+    from ..query.bm25f import BM25FParams, FieldSpec, bm25f_topk, split_fielded_terms
+
+    docs = _aug_docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    fielded = split_fielded_terms(docs, title_tokens=_F_TITLE_TOKENS)
+    params = BM25FParams(
+        k1=K1,
+        fields={
+            "title": FieldSpec(weight=_F_W_TITLE, b=_F_B),
+            "body": FieldSpec(weight=_F_W_BODY, b=_F_B),
+        },
+    )
+    out = bm25f_topk(
+        idx, fielded, _queries_df(spark, ENTRY_QUERIES_RARE),
+        params=params, positive_only=True, score_rounding=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_BM25F_TOPK = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+{_query_values_sql(ENTRY_QUERIES_RARE)},
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS arr FROM docs_aug
+),
+ptoks AS (
+  SELECT doc_id,
+         CASE WHEN u.pos <= {_F_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS fld,
+         u.term
+  FROM tokarr, LATERAL (
+    SELECT unnest(
+      [{{'pos': i, 'term': arr[i]}} for i in generate_series(1, len(arr))],
+      recursive := true
+    )
+  ) u
+),
+ftf AS (SELECT doc_id, fld, term, count(*) AS tf FROM ptoks GROUP BY 1, 2, 3),
+flen AS (SELECT doc_id, fld, sum(tf) AS field_len FROM ftf GROUP BY 1, 2),
+favg AS (
+  SELECT fld, sum(field_len) * 1.0 / (SELECT n_docs FROM cstats) AS avg_len
+  FROM flen GROUP BY fld
+),
+wtf AS (
+  SELECT q.query_id, q.top_k, ftf.doc_id, ftf.term, q.qtf, f.idf,
+         CASE ftf.fld WHEN 'title' THEN {_F_W_TITLE!r} ELSE {_F_W_BODY!r} END
+           * ftf.tf
+           / (1.0 - {_F_B!r} + {_F_B!r} * flen.field_len / favg.avg_len) AS wtf
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN ftf ON ftf.term = q.term
+  JOIN flen ON flen.doc_id = ftf.doc_id AND flen.fld = ftf.fld
+  JOIN favg ON favg.fld = ftf.fld
+),
+pt AS (
+  SELECT query_id, top_k, doc_id, term, qtf, idf, sum(wtf) AS tft
+  FROM wtf GROUP BY 1, 2, 3, 4, 5, 6
+),
+contrib AS (
+  SELECT query_id, top_k, doc_id, qtf * idf * (tft / ({K1} + tft)) AS c FROM pt
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+  HAVING sum(c) > 0
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1888,6 +1984,7 @@ def base_queries() -> dict:
         "bool_topk": q_bool_topk,
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -1924,4 +2021,5 @@ def base_oracles() -> dict:
         "bool_topk": SQL_BOOL_TOPK,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,
+        "bm25f_topk": SQL_BM25F_TOPK,
     }

@@ -323,3 +323,95 @@ def test_synonym_qtf_sums_across_variants(spark):
     )
     out = fold_query_terms(query_terms(qs), syn).collect()
     assert [(r.term, r.qtf) for r in out] == [("join", 3)]
+
+
+# --- BM25F multi-field ranking ------------------------------------------------
+
+
+def test_bm25f_title_hit_outranks_body_hit(spark):
+    """Two docs identical except WHERE the query term sits: in the title
+    window vs the body. BM25F with a title boost must rank the title doc
+    first; flat BM25 scores them identically (same tf/doc_len)."""
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.bm25f import (
+        BM25FParams,
+        FieldSpec,
+        bm25f_topk,
+        split_fielded_terms,
+    )
+
+    rows = [
+        # 12 tokens each; title window = first 8 tokens
+        (0, "zebra aa bb cc dd ee ff gg hh ii jj kk"),   # zebra in title
+        (1, "aa bb cc dd ee ff gg hh zebra ii jj kk"),   # zebra in body
+        (2, "aa bb cc dd ee ff gg hh ii jj kk ll"),      # no zebra
+        (3, "mm nn oo pp qq rr ss tt uu vv ww xx"),
+        # filler keeps zebra's df (2) under N/2 so its idf is positive
+        (4, "mm nn oo pp qq rr ss tt uu vv ww xx"),
+        (5, "mm nn oo pp qq rr ss tt uu vv ww xx"),
+        (6, "mm nn oo pp qq rr ss tt uu vv ww xx"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_logical_index(corpus, persist=True)
+    fielded = split_fielded_terms(corpus, title_tokens=8)
+    qdf = spark.createDataFrame(
+        [(0, "zebra", 5)], "query_id int, query_text string, top_k int"
+    )
+    params = BM25FParams(
+        fields={"title": FieldSpec(weight=3.0), "body": FieldSpec(weight=1.0)}
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in bm25f_topk(idx, fielded, qdf, params=params).collect()
+    }
+    assert set(got) == {0, 1}, "only zebra docs match"
+    assert got[0] == 1 and got[1] == 2, "title hit must outrank body hit"
+
+    flat = bm25_topk(idx.doc_terms, idx.terms, qdf, stats=idx.stats).collect()
+    scores = {r["doc_id"]: r["score"] for r in flat}
+    assert scores[0] == pytest.approx(scores[1], rel=1e-12), (
+        "flat BM25 cannot distinguish the two placements"
+    )
+
+
+def test_bm25f_equal_weights_zero_b_matches_flat_saturation(spark):
+    """With w_f = 1 and b_f = 0 for all fields, tf~ degenerates to the raw
+    document tf, so BM25F == BM25 with b=0: field structure must not leak
+    into scores when the params say fields don't matter."""
+    from neural_search_spark.config import BM25Params
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.bm25f import (
+        BM25FParams,
+        FieldSpec,
+        bm25f_topk,
+        split_fielded_terms,
+    )
+
+    rows = [
+        (0, "zebra quark aa bb cc dd ee ff gg hh zebra ii"),
+        (1, "aa zebra bb cc dd ee ff gg hh ii jj kk"),
+        (2, "quark aa bb cc dd ee ff gg hh ii jj kk"),
+        (3, "mm nn oo pp qq rr ss tt uu vv ww xx"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_logical_index(corpus, persist=True)
+    fielded = split_fielded_terms(corpus, title_tokens=8)
+    qdf = spark.createDataFrame(
+        [(0, "zebra quark", 5)], "query_id int, query_text string, top_k int"
+    )
+    fparams = BM25FParams(
+        k1=1.5,
+        fields={"title": FieldSpec(1.0, b=0.0), "body": FieldSpec(1.0, b=0.0)},
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(idx, fielded, qdf, params=fparams).collect()
+    }
+    flat = bm25_topk(
+        idx.doc_terms, idx.terms, qdf, stats=idx.stats,
+        params=BM25Params(k1=1.5, b=0.0),
+    ).collect()
+    want = {r["doc_id"]: r["score"] for r in flat}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, rel=1e-9), d

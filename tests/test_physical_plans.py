@@ -145,3 +145,25 @@ def test_dedup_lines_never_uses_quadratic_array_position(spark, stored_corpus):
     plan = _plan(df)
     assert "array_position" not in plan
     assert "partial_min" in plan or "partial_count" in plan  # combine on first-occurrence agg
+
+
+def test_bm25f_broadcasts_query_side_and_partial_aggs(spark, stored_corpus):
+    """BM25F plan shape: the (query x idf) side reaches the fielded-posting
+    join as a broadcast (the corpus-sized side never shuffles by term), and
+    the field-tf aggregation is partial (map-side combine) before its one
+    exchange."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25f import bm25f_topk, split_fielded_terms
+
+    corpus = assign_doc_ids(stored_corpus, order_col="url")
+    idx = build_logical_index(corpus)
+    fielded = split_fielded_terms(corpus, title_tokens=8)
+    qdf = spark.createDataFrame(
+        [(0, "w0001 w0002", 5)], "query_id int, query_text string, top_k int"
+    )
+    plan = _plan(bm25f_topk(idx, fielded, qdf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # partial aggregation before the exchange (HashAggregate appears in
+    # partial_count / merge_count pairs around the shuffle)
+    assert plan.count("HashAggregate") >= 2
