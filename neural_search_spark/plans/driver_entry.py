@@ -1951,6 +1951,133 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+# --- Stemmed retrieval (S-stemmer analyzer stage) -----------------------------
+# Stem-specific corpus view: on top of the rare-term augmentation, each doc
+# gets ' zq<doc_id%5>' in singular (odd ids) or plural 's' form (even ids).
+# Stemming folds the two surface forms into one posting group whose df is
+# the UNION of the variants' doc sets; plural queries match singular docs
+# and vice versa — non-vacuous on both the doc and query side.
+
+_STEM_SUFFIX_SPARK = (
+    "concat(' zq', cast(doc_id % 5 as string),"
+    " case when doc_id % 2 = 0 then 's' else '' end)"
+)
+_STEM_SUFFIX_SQL = (
+    "' zq' || (doc_id % 5)::VARCHAR || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END"
+)
+
+ENTRY_QUERIES_STEM: list[tuple[int, str, int]] = [
+    (0, "zq0s", 10),
+    (1, "zq1 zq1s", 10),
+    (2, "tables zq2", 10),
+    (3, "queries nosuchterms", 5),
+    (4, "zq4s keys", 10),
+]
+
+
+def _stem_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.expr(_AUG_SUFFIX_SPARK), F.expr(_STEM_SUFFIX_SPARK)
+        ),
+    )
+
+
+def q_bm25_topk_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the S-stemmed vocabulary (``query/stemming.py``): codegen
+    expression fold on both sides, df = union of surface-form doc sets,
+    idf + epsilon-floor average_idf recomputed over the stemmed terms."""
+    from ..query.stemming import bm25_topk_stem
+
+    idx = build_logical_index(_stem_docs(spark, sf_dir), persist=True)
+    out = bm25_topk_stem(
+        idx, _queries_df(spark, ENTRY_QUERIES_STEM),
+        positive_only=True, score_rounding=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _stem_query_values_sql() -> str:
+    from ..functions.stem import s_stem_py
+
+    rows = []
+    for qid, text, k in ENTRY_QUERIES_STEM:
+        counts: dict[str, int] = {}
+        for t in tokenize_py(text):
+            t = s_stem_py(t)
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in sorted(counts.items()):
+            rows.append(f"({qid}, {k}, '{term}', {qtf})")
+    return "q(query_id, top_k, term, qtf) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _stem_sql() -> str:
+    from ..functions.stem import s_stem_sql
+
+    return f"""
+WITH docs_stem AS (
+  SELECT doc_id, text || {_AUG_SUFFIX_SQL} || {_STEM_SUFFIX_SQL} AS text
+  FROM documents
+),
+toks0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS raw
+  FROM docs_stem
+),
+toks AS (SELECT doc_id, {s_stem_sql("raw")} AS term FROM toks0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM docs_stem) AS n_docs,
+         (SELECT coalesce(sum(doc_len), 0) FROM dl) * 1.0
+           / (SELECT count(*) FROM docs_stem) AS avgdl
+),
+tstats AS (
+  SELECT term, count(*) AS df,
+         ln((SELECT n_docs FROM cstats) - count(*) + 0.5) - ln(count(*) + 0.5) AS raw_idf
+  FROM tf GROUP BY term
+),
+aidf AS (SELECT avg(raw_idf) AS average_idf FROM tstats),
+fidf AS (
+  SELECT term, df, raw_idf,
+         CASE WHEN raw_idf < 0 THEN {EPS} * (SELECT average_idf FROM aidf)
+              ELSE raw_idf END AS idf
+  FROM tstats
+),
+{_stem_query_values_sql()},
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.doc_id,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+  HAVING sum(c) > 0
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
+SQL_BM25_TOPK_STEM = _stem_sql()
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1985,6 +2112,7 @@ def base_queries() -> dict:
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
         "bm25f_topk": q_bm25f_topk,
+        "bm25_topk_stem": q_bm25_topk_stem,
     }
 
 
@@ -2022,4 +2150,5 @@ def base_oracles() -> dict:
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,
         "bm25f_topk": SQL_BM25F_TOPK,
+        "bm25_topk_stem": SQL_BM25_TOPK_STEM,
     }

@@ -415,3 +415,90 @@ def test_bm25f_equal_weights_zero_b_matches_flat_saturation(spark):
     assert set(got) == set(want)
     for d, s in want.items():
         assert got[d] == pytest.approx(s, rel=1e-9), d
+
+
+# --- S-stemmer analyzer stage ---------------------------------------------
+
+
+STEM_CASES = [
+    ("queries", "query"),
+    ("tables", "table"),
+    ("keys", "key"),
+    ("values", "value"),
+    ("glass", "glass"),      # -ss protected
+    ("virus", "virus"),      # -us protected
+    ("toes", "toes"),        # -oes protected
+    ("trees", "trees"),      # -ees protected (terminal: no fall-through to -s)
+    ("ties", "ty"),          # 4 letters clears the -ies length guard: known
+                             # over-stem of the rule-simple S-stemmer, pinned
+    ("as", "as"),            # length guard
+    ("is", "is"),            # length guard
+    ("zq3s", "zq3"),
+    ("window", "window"),    # no suffix
+]
+
+
+def test_s_stem_python_column_sql_parity(spark):
+    """The three stemmer mirrors (Python, Spark Column, DuckDB SQL) must
+    agree on every case — the serving replica, the cluster fold, and the
+    oracle all depend on bit-identical folding."""
+    import duckdb
+
+    from neural_search_spark.functions.stem import s_stem_col, s_stem_py, s_stem_sql
+
+    words = [w for w, _ in STEM_CASES]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got_col = {
+        r["term"]: r["stem"]
+        for r in df.select("term", s_stem_col(F.col("term")).alias("stem")).collect()
+    }
+    vals = ", ".join(f"('{w}')" for w in words)
+    got_sql = dict(
+        duckdb.sql(
+            f"SELECT term, {s_stem_sql('term')} AS s FROM (VALUES {vals}) t(term)"
+        ).fetchall()
+    )
+    for w, _want in STEM_CASES:
+        py = s_stem_py(w)
+        assert got_col[w] == py, f"column mirror diverges on {w}"
+        assert got_sql[w] == py, f"sql mirror diverges on {w}"
+
+
+def test_s_stem_expected_folds():
+    from neural_search_spark.functions.stem import s_stem_py
+
+    for w, want in STEM_CASES:
+        assert s_stem_py(w) == want, w
+
+
+def test_stemmed_retrieval_plural_matches_singular(spark):
+    """A plural query must retrieve singular docs (and vice versa), with df
+    computed over the union of surface forms."""
+    from neural_search_spark.query.stemming import bm25_topk_stem, stem_index
+
+    rows = [
+        (0, "table aa bb cc dd"),
+        (1, "tables ee ff gg hh"),
+        (2, "ii jj kk ll mm"),
+        (3, "nn oo pp qq rr"),
+        (4, "ss tt uu vv ww"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_logical_index(corpus, persist=True)
+
+    sidx = stem_index(idx)
+    got_df = {
+        r["term"]: r["df"] for r in sidx.terms.where(F.col("term") == "table").collect()
+    }
+    assert got_df == {"table": 2}, "df must be the union of 'table' and 'tables' docs"
+
+    qdf = spark.createDataFrame(
+        [(0, "tables", 5), (1, "table", 5)],
+        "query_id int, query_text string, top_k int",
+    )
+    res = bm25_topk_stem(idx, qdf).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    assert set(by_q[0]) == {0, 1}, "plural query matches both surface forms"
+    assert by_q[0] == by_q[1], "plural and singular queries are identical post-fold"
