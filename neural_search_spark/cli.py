@@ -195,9 +195,12 @@ def cmd_serve(args) -> int:
             continue
         # a JSON object line is the structured request form (the api/search.py
         # request-body analog): {"query": str, "top_k"?: int, "offset"?: int,
-        # "filter_ids"?: [doc_id, ...]} — filter_ids is the resolved
-        # metadata-filter id set, applied pre-rank (IndexReader.allowed_docs);
-        # offset paginates (ranks offset+1 .. offset+top_k)
+        # "search_after"?: [score, doc_id], "filter_ids"?: [doc_id, ...]} —
+        # filter_ids is the resolved metadata-filter id set, applied pre-rank
+        # (IndexReader.allowed_docs); offset paginates (ranks offset+1 ..
+        # offset+top_k); search_after is the cursor form of deep pagination
+        # (the [score, doc_id] of the last hit received; pages tile with
+        # offset paging on a fixed snapshot)
         if limiter is not None:
             ok, retry_after = limiter.check()
             if not ok:
@@ -234,24 +237,29 @@ def cmd_serve(args) -> int:
                 allowed = req.get("filter_ids")
                 use_bool = bool(req.get("bool"))
                 offset = int(req.get("offset", 0))
-            except (ValueError, KeyError) as e:
+                sa = req.get("search_after")
+                search_after = (
+                    (float(sa[0]), int(sa[1])) if sa is not None else None
+                )
+            except (ValueError, KeyError, IndexError, TypeError) as e:
                 print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
                 continue
         else:
             use_bool = False
             offset = 0
+            search_after = None
         t0 = time.perf_counter()
         if use_bool:
             # {"query": "+must -not should", "bool": true}: Lucene-style
             # clause syntax via IndexReader.query_bool
             hits = reader.query_bool(
                 text, top_k=top_k, positive_only=not args.match_all,
-                allowed_docs=allowed, offset=offset,
+                allowed_docs=allowed, offset=offset, search_after=search_after,
             )
         else:
             hits = reader.query(
                 text, top_k=top_k, positive_only=not args.match_all,
-                allowed_docs=allowed, offset=offset,
+                allowed_docs=allowed, offset=offset, search_after=search_after,
             )
         ms = (time.perf_counter() - t0) * 1000
         print(

@@ -243,12 +243,20 @@ class IndexReader:
         score_rounding: int | None = None,
         allowed_docs=None,
         offset: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
 
         ``offset`` paginates: ranks offset+1 .. offset+top_k of the SAME
         deterministic total order (page 2 of a query is stable across
         requests on one snapshot). Past-the-end offsets return [].
+
+        ``search_after`` is the Elasticsearch-style deep-pagination cursor:
+        the (score, doc_id) of the LAST hit the client received; the next
+        page is the top_k docs strictly after that position in the total
+        order. Equivalent to offset paging on a fixed snapshot but O(1) in
+        page depth on the client protocol (no growing offset), and the two
+        tile identically (pinned in tests/test_serve.py).
 
         Identical semantics to ``bm25_topk_wand(positive_only=...)`` for a
         single query. With a ``cache`` attached, a repeated query string is
@@ -286,6 +294,8 @@ class IndexReader:
                 fkey["ids"] = fdig
             if offset:
                 fkey["offset"] = offset
+            if search_after is not None:
+                fkey["after"] = f"{search_after[0]!r}:{int(search_after[1])}"
             skey = TtlLruCache.make_search_key(
                 text, top_k, positive_only, self.snapshot,
                 filters=fkey or None,
@@ -306,7 +316,7 @@ class IndexReader:
         result = (
             self._score(
                 qterms, top_k, positive_only, score_rounding, allowed,
-                offset=offset,
+                offset=offset, search_after=search_after,
             )
             if qterms
             else []
@@ -323,6 +333,7 @@ class IndexReader:
         score_rounding: int | None = None,
         allowed_docs=None,
         offset: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Boolean serving twin of ``query/boolean.py:bm25_topk_bool``:
         ``+term`` must appear, ``-term`` must not, bare terms score
@@ -349,6 +360,8 @@ class IndexReader:
                 fkey["ids"] = adig
             if offset:
                 fkey["offset"] = offset
+            if search_after is not None:
+                fkey["after"] = f"{search_after[0]!r}:{int(search_after[1])}"
             skey = TtlLruCache.make_search_key(
                 f"bool:{text}", top_k, positive_only, self.snapshot,
                 filters=fkey or None,
@@ -400,7 +413,7 @@ class IndexReader:
             result = (
                 self._score(
                     qterms, top_k, positive_only, score_rounding, allowed, excluded,
-                    offset=offset,
+                    offset=offset, search_after=search_after,
                 )
                 if qterms and not empty_allowed
                 else []
@@ -463,6 +476,7 @@ class IndexReader:
         allowed: np.ndarray | None = None,
         excluded: np.ndarray | None = None,
         offset: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         avgdl = float(self.stats["avgdl"])
@@ -514,6 +528,16 @@ class IndexReader:
                 return []
         if score_rounding is not None:
             scores = round_half_up(scores, score_rounding)
+        if search_after is not None:
+            # cursor = the (score, doc_id) of the last hit the client saw, in
+            # the representation this reader emits (post-rounding): keep only
+            # docs STRICTLY after it in the (score desc, doc_id asc) order.
+            # Comparing emitted-score == stored-score is exact (same floats).
+            a_score, a_id = float(search_after[0]), int(search_after[1])
+            keep = (scores < a_score) | ((scores == a_score) & (ids > a_id))
+            ids, scores = ids[keep], scores[keep]
+            if ids.size == 0:
+                return []
         sel = np.lexsort((ids, -scores))
         sel = sel[offset : offset + top_k]
         return [(int(ids[i]), float(scores[i])) for i in sel]

@@ -317,3 +317,28 @@ def test_cli_serve_bool_request(idx_dir):
     expect = IndexReader(idx_dir).query_bool("+w0005 -w0010", top_k=5)
     assert [(h["doc_id"], h["score"]) for h in out["hits"]] == expect
     assert len(expect) > 0
+
+
+def test_cli_serve_search_after_cursor(idx_dir):
+    """The serve loop's {"search_after": [score, doc_id]} request returns the
+    next page of the same total order (tiles with offset paging)."""
+    import json
+    import subprocess
+    import sys
+
+    reader = IndexReader(idx_dir)
+    p0 = reader.query("w0005 w0010", top_k=5)
+    want = reader.query("w0005 w0010", top_k=5, offset=5)
+    req = json.dumps(
+        {"query": "w0005 w0010", "top_k": 5, "search_after": [p0[-1][1], p0[-1][0]]}
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--top-k", "5"],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    got = [(h["doc_id"], h["score"]) for h in lines[0]["hits"]]
+    assert got == want

@@ -243,3 +243,61 @@ def test_reader_bool_pagination(served):
     p0 = reader.query_bool(text, top_k=10, positive_only=False)
     p1 = reader.query_bool(text, top_k=10, positive_only=False, offset=10)
     assert p0 + p1 == full
+
+
+def test_reader_search_after_tiles_with_offset_paging(served):
+    """Cursor pagination must walk the same total order as offset paging:
+    feeding each page's last (score, doc_id) back as search_after reproduces
+    the offset-paged tiling exactly."""
+    _, reader = served
+    text = "w0000 w0002 w0007"
+    full = reader.query(text, top_k=10_000, positive_only=False)
+    pages, cursor = [], None
+    while True:
+        page = reader.query(
+            text, top_k=10, positive_only=False, search_after=cursor
+        )
+        if not page:
+            break
+        pages.append(page)
+        cursor = (page[-1][1], page[-1][0])  # (score, doc_id) of last hit
+    assert sum(pages, []) == full
+    # a cursor past the end is empty, not an error
+    last = (full[-1][1], full[-1][0])
+    assert reader.query(text, top_k=10, positive_only=False, search_after=last) == []
+
+
+def test_reader_search_after_bool_and_cache_keying(served):
+    from neural_search_spark.query.cache import TtlLruCache
+    from neural_search_spark.query.serve import IndexReader
+
+    reader = IndexReader(served[1].root, cache=TtlLruCache())
+    text = "+w0000 w0002"
+    p0 = reader.query_bool(text, top_k=10, positive_only=False)
+    cur = (p0[-1][1], p0[-1][0])
+    p1 = reader.query_bool(text, top_k=10, positive_only=False, search_after=cur)
+    assert p1 == reader.query_bool(text, top_k=10, positive_only=False, offset=10)
+    # cached pages keyed by cursor: repeats return their own page
+    assert reader.query_bool(text, top_k=10, positive_only=False) == p0
+    assert (
+        reader.query_bool(text, top_k=10, positive_only=False, search_after=cur)
+        == p1
+    )
+
+
+def test_reader_search_after_within_tied_scores(served):
+    """The cursor must split TIES correctly: docs with the cursor's exact
+    score but a higher doc_id belong to the next page."""
+    _, reader = served
+    text = "w0001"
+    full = reader.query(text, top_k=100, positive_only=False, score_rounding=2)
+    # find a run of equal rounded scores spanning at least 2 docs
+    run_start = next(
+        (i for i in range(len(full) - 1) if full[i][1] == full[i + 1][1]), None
+    )
+    assert run_start is not None, "fixture corpus should produce 2dp ties"
+    cursor = (full[run_start][1], full[run_start][0])
+    nxt = reader.query(
+        text, top_k=5, positive_only=False, score_rounding=2, search_after=cursor
+    )
+    assert nxt == full[run_start + 1 : run_start + 6]
