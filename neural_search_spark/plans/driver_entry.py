@@ -2078,6 +2078,79 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 SQL_BM25_TOPK_STEM = _stem_sql()
 
 
+# --- Query-time term boosting (Lucene term^2.5 syntax) ------------------------
+# Boosts re-rank visibly: query 2 inverts the natural zq-vs-common balance,
+# query 4 stacks the same term at two boosts (w = 2 + 1 = 3).
+
+ENTRY_QUERIES_BOOST: list[tuple[int, str, int]] = [
+    (0, "zq0^2.0 batch", 10),
+    (1, "zq1 zq4^0.5", 10),
+    (2, "zq2^3 join^0.25", 10),
+    (3, "nosuchterm^5 zq3", 5),
+    (4, "zq5^2 zq5", 10),
+]
+
+
+def q_bm25_topk_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted BM25 (``query/boosting.py``): per-term summed boost weight
+    replaces qtf; parsing in an Arrow-batched UDF on the broadcast query
+    side, score plan unchanged."""
+    from ..query.boosting import bm25_topk_boosted
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    out = bm25_topk_boosted(
+        idx, _queries_df(spark, ENTRY_QUERIES_BOOST),
+        positive_only=True, score_rounding=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _boost_query_values_sql() -> str:
+    from ..query.boosting import parse_boosted_py
+
+    rows = []
+    for qid, text, k in ENTRY_QUERIES_BOOST:
+        weights: dict[str, float] = {}
+        for term, boost in parse_boosted_py(text):
+            weights[term] = weights.get(term, 0.0) + boost
+        for term, w in sorted(weights.items()):
+            rows.append(f"({qid}, {k}, '{term}', {w!r})")
+    return "q(query_id, top_k, term, w) AS (VALUES " + ", ".join(rows) + ")"
+
+
+SQL_BM25_TOPK_BOOST = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+{_boost_query_values_sql()},
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.doc_id,
+         q.w * f.idf * (tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats)))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+  HAVING sum(c) > 0
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2113,6 +2186,7 @@ def base_queries() -> dict:
         "bm25_explain": q_bm25_explain,
         "bm25f_topk": q_bm25f_topk,
         "bm25_topk_stem": q_bm25_topk_stem,
+        "bm25_topk_boost": q_bm25_topk_boost,
     }
 
 
@@ -2151,4 +2225,5 @@ def base_oracles() -> dict:
         "bm25_explain": SQL_BM25_EXPLAIN,
         "bm25f_topk": SQL_BM25F_TOPK,
         "bm25_topk_stem": SQL_BM25_TOPK_STEM,
+        "bm25_topk_boost": SQL_BM25_TOPK_BOOST,
     }

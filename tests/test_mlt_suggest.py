@@ -502,3 +502,63 @@ def test_stemmed_retrieval_plural_matches_singular(spark):
         by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
     assert set(by_q[0]) == {0, 1}, "plural query matches both surface forms"
     assert by_q[0] == by_q[1], "plural and singular queries are identical post-fold"
+
+
+# --- Query-time term boosting -------------------------------------------------
+
+
+def test_parse_boosted_query():
+    from neural_search_spark.query.boosting import parse_boosted_py
+
+    assert parse_boosted_py("zebra^2.5 quark") == [("zebra", 2.5), ("quark", 1.0)]
+    # a multi-token chunk shares its boost across all its tokens
+    assert parse_boosted_py("a-b^2") == [("a", 2.0), ("b", 2.0)]
+    # malformed boost degrades to plain tokens (the ^ is dropped by \w+)
+    assert parse_boosted_py("x^y") == [("x", 1.0), ("y", 1.0)]
+    assert parse_boosted_py("") == []
+
+
+def test_boost_one_equals_flat_bm25(spark, mlt_index):
+    """All boosts 1.0 (implicit) must reproduce the flat engine exactly."""
+    from neural_search_spark.query.bm25_dataframe import bm25_topk
+    from neural_search_spark.query.boosting import bm25_topk_boosted
+
+    qdf = spark.createDataFrame(
+        [(0, "zebra quark", 10), (1, "zebra zebra data", 10)],
+        "query_id int, query_text string, top_k int",
+    )
+    flat = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk(
+            mlt_index.doc_terms, mlt_index.terms, qdf, stats=mlt_index.stats
+        ).collect()
+    }
+    boosted = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk_boosted(mlt_index, qdf).collect()
+    }
+    assert set(boosted) == set(flat)
+    for key, (rank, score) in flat.items():
+        brank, bscore = boosted[key]
+        assert brank == rank and bscore == pytest.approx(score, rel=1e-12), key
+
+
+def test_boost_score_linearity(spark, mlt_index):
+    """Boost weights act linearly per term BEFORE the doc-level sum:
+    score("zebra^2 quark^0.5", d) == 2*score("zebra", d) + 0.5*score("quark", d)
+    — an exact algebraic identity of the weighted-qtf generalization."""
+    from neural_search_spark.query.boosting import bm25_topk_boosted
+
+    qdf = spark.createDataFrame(
+        [(0, "zebra", 10), (1, "quark", 10), (2, "zebra^2 quark^0.5", 10)],
+        "query_id int, query_text string, top_k int",
+    )
+    res = bm25_topk_boosted(mlt_index, qdf).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    za, qa, comb = by_q[0], by_q[1], by_q[2]
+    assert set(comb) == set(za) | set(qa)
+    for d, s in comb.items():
+        want = 2.0 * za.get(d, 0.0) + 0.5 * qa.get(d, 0.0)
+        assert s == pytest.approx(want, rel=1e-12), d
