@@ -58,6 +58,7 @@ def cmd_build(args) -> int:
         layout=_layout(args),
         n_buckets=args.buckets,
         waves=args.waves,
+        analyzer=args.analyzer or None,
     )
     print(
         json.dumps(
@@ -323,6 +324,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--output", required=True)
     b.add_argument("--waves", type=int, default=1)
+    b.add_argument(
+        "--analyzer", default="",
+        help="index-time analysis fold bound to the index (e.g. 'stem'); "
+        "query surfaces read it back automatically",
+    )
     common(b)
     b.set_defaults(fn=cmd_build)
 

@@ -1,0 +1,69 @@
+"""Index-time analyzer registry for the physical index.
+
+Real engines bind the analyzer to the index (Lucene: the analysis chain is
+part of the field's index-time configuration; querying with a different
+analyzer silently breaks matching). The physical index here does the same:
+``build_index(analyzer=...)`` folds the token stream at build time, records
+the analyzer name in ``corpus_stats``, and every query surface (WAND, the
+serving replica, maintenance deltas) reads that name back and applies the
+SAME fold to query tokens — the caller can't desynchronize the two sides.
+
+An analyzer is a pure per-term fold (term -> term), registered as a
+(python_fn, column_fn) pair: the Column form runs in whole-stage codegen on
+the cluster side, the Python form serves the replica and driver-side query
+prep. Token counts are invariant under a per-term fold, so doc_len / avgdl
+never change — only the term space (and therefore df/idf) does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .stem import s_stem_col, s_stem_py
+
+# name -> (python mirror, Column mirror). "" / None = identity (no analysis
+# beyond the reference tokenizer).
+ANALYZERS = {
+    "stem": (s_stem_py, s_stem_col),
+}
+
+
+def resolve_analyzer(name: str | None) -> str:
+    """Normalize + validate an analyzer name ('' = identity)."""
+    if not name:
+        return ""
+    if name not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {name!r}; available: {sorted(ANALYZERS)}"
+        )
+    return name
+
+
+def analyze_tokens(tokens: list[str], analyzer: str | None) -> list[str]:
+    """Python-side fold of a token list (query prep, serving replica)."""
+    name = resolve_analyzer(analyzer)
+    if not name:
+        return list(tokens)
+    py = ANALYZERS[name][0]
+    return [py(t) for t in tokens]
+
+
+def fold_doc_terms(doc_terms: DataFrame, analyzer: str | None) -> DataFrame:
+    """Fold a (doc_id, term, tf, doc_len) relation through the analyzer.
+
+    Variant tfs sum into the folded term's group; rows stay unique per
+    (doc_id, term) so the count(*)-is-df invariant of ``term_stats`` holds.
+    Identity analyzer returns the input unchanged (no extra shuffle).
+    """
+    name = resolve_analyzer(analyzer)
+    if not name:
+        return doc_terms
+    col_fn = ANALYZERS[name][1]
+    return (
+        doc_terms.select(
+            "doc_id", col_fn(F.col("term")).alias("term"), "tf", "doc_len"
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )

@@ -170,17 +170,33 @@ def build_index(
     n_buckets: int = 64,
     waves: int = 1,
     fail_after_wave: int | None = None,
+    analyzer: str | None = None,
 ) -> "PhysicalIndex":
     """Build (or resume) the sharded compressed index under ``out_dir``.
 
     ``waves`` splits phase 2 into that many shard groups with a checkpoint
     commit after each — the resumability granularity. ``fail_after_wave``
     injects a crash after N waves (test hook for kill-and-resume).
+
+    ``analyzer`` binds an index-time analysis fold (e.g. ``"stem"``) to the
+    index: the token stream is folded before encoding, the name is recorded
+    in ``corpus_stats``, and WAND / the serving replica / maintenance read
+    it back and fold query tokens identically (``functions/analyzers.py``).
+    A resume call must pass the same analyzer as the original build (the
+    checkpoint fingerprint records it; maintenance passes it automatically).
     """
+    from ..functions.analyzers import fold_doc_terms, resolve_analyzer
+
+    analyzer = resolve_analyzer(analyzer)
     spark = corpus.sparkSession
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ckpt = _read_checkpoint(paths)
+    if ckpt and ckpt.get("fingerprint", {}).get("analyzer", "") != analyzer:
+        raise ValueError(
+            "resume analyzer mismatch: index was built with "
+            f"{ckpt['fingerprint'].get('analyzer', '')!r}, call passed {analyzer!r}"
+        )
     dt_cached = None  # set when phase 1 runs in THIS call (reused by phase 2)
     try:
         # empty corpus -> no index, explicitly (the reference drops the index on
@@ -220,7 +236,9 @@ def build_index(
             ).collect()[0]
             n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
 
-            dt = doc_terms(with_ids, id_col="doc_id", text_col=text_col)
+            dt = fold_doc_terms(
+                doc_terms(with_ids, id_col="doc_id", text_col=text_col), analyzer
+            )
             # persist the tokenized rows across phases: phase 2 (posting encode)
             # consumes the same (doc_id, term, tf) rows, and re-tokenizing is the
             # single priciest stage of the build (Python-re pandas UDF over the
@@ -250,10 +268,11 @@ def build_index(
                         params.epsilon,
                         span,
                         layout.block_size,
+                        analyzer,
                     )
                 ],
                 "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-                "epsilon double, docs_per_shard long, block_size int",
+                "epsilon double, docs_per_shard long, block_size int, analyzer string",
             ).write.mode("overwrite").parquet(paths.corpus_stats)
 
             ckpt = {
@@ -268,6 +287,7 @@ def build_index(
                     "epsilon": params.epsilon,
                     "docs_per_shard": span,
                     "block_size": layout.block_size,
+                    "analyzer": analyzer,
                 },
                 "n_shards": max_shard + 1,
                 "done_shards": [],
@@ -305,7 +325,10 @@ def build_index(
                             ),
                             url_col,
                         )
-                    dt = doc_terms(wave_docs, id_col="doc_id", text_col=text_col)
+                    dt = fold_doc_terms(
+                        doc_terms(wave_docs, id_col="doc_id", text_col=text_col),
+                        analyzer,
+                    )
                     dt = dt.withColumn("shard", (F.col("doc_id") / span).cast("int"))
                 # native crc32 (JVM-side) — bucket is internal layout only
                 dt = dt.withColumn(
@@ -365,11 +388,15 @@ class PhysicalIndex:
     stats: CorpusStats
     docs_per_shard: int
     block_size: int
+    analyzer: str = ""
 
 
 def load_index(spark: SparkSession, out_dir: str) -> PhysicalIndex:
     paths = IndexPaths(out_dir)
-    row = spark.read.parquet(paths.corpus_stats).collect()[0]
+    stats_df = spark.read.parquet(paths.corpus_stats)
+    row = stats_df.collect()[0]
+    # pre-analyzer indexes have no column: identity analysis
+    analyzer = row["analyzer"] if "analyzer" in stats_df.columns else ""
     stats = CorpusStats(
         n_docs=int(row["n_docs"]),
         avgdl=float(row["avgdl"]),
@@ -386,4 +413,5 @@ def load_index(spark: SparkSession, out_dir: str) -> PhysicalIndex:
         stats=stats,
         docs_per_shard=int(row["docs_per_shard"]),
         block_size=int(row["block_size"]),
+        analyzer=analyzer or "",
     )

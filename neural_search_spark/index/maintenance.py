@@ -65,6 +65,7 @@ def _rewrite_stats(
     avgdl: float,
     params: BM25Params,
     layout: IndexLayout,
+    analyzer: str = "",
 ) -> None:
     """Recompute average_idf + idf floors over the updated vocabulary and
     atomically replace term_stats/corpus_stats (write-new + rename)."""
@@ -92,10 +93,11 @@ def _rewrite_stats(
                 params.epsilon,
                 layout.docs_per_shard,
                 layout.block_size,
+                analyzer,
             )
         ],
         "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-        "epsilon double, docs_per_shard long, block_size int",
+        "epsilon double, docs_per_shard long, block_size int, analyzer string",
     ).write.mode("overwrite").parquet(paths.corpus_stats + "__new")
     for p in (paths.term_stats, paths.corpus_stats):
         old = p + "__old"
@@ -211,8 +213,12 @@ def add_documents(
     # (e.g. the streaming ingest anti-joins against docmap to drop seen
     # urls), and re-evaluating it after the docmap rewrite would see the
     # post-mutation state and produce an empty/partial delta.
+    from ..functions.analyzers import fold_doc_terms
+
     delta = (
-        doc_terms(with_ids, id_col="doc_id", text_col=text_col)
+        fold_doc_terms(
+            doc_terms(with_ids, id_col="doc_id", text_col=text_col), idx.analyzer
+        )
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("d_df"))
     )
@@ -236,7 +242,7 @@ def add_documents(
     )
     n_docs = n_old + n_new
     avgdl = (idx.stats.avgdl * n_old + sum_dl_new) / n_docs
-    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout)
+    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer)
 
     # postings: rebuild only the affected shards via the resume machinery
     ckpt["n_shards"] = max(int(ckpt["n_shards"]), affected[-1] + 1) if affected else ckpt["n_shards"]
@@ -246,7 +252,8 @@ def add_documents(
     new_rows.unpersist()
     delta.unpersist()
     return build_index(
-        corpus, out_dir, text_col=text_col, url_col=url_col, params=params, layout=layout
+        corpus, out_dir, text_col=text_col, url_col=url_col, params=params,
+        layout=layout, analyzer=idx.analyzer,
     )
 
 
@@ -337,7 +344,7 @@ def remove_documents(
     if n_docs == 0:
         raise ValueError("removing every document; drop the index instead")
     avgdl = (idx.stats.avgdl * n_old - sum_dl_removed) / n_docs
-    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout)
+    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer)
 
     # docmap: affected partitions minus the removed rows
     surviving = idx.docmap.where(F.col("shard").isin(affected)).join(
@@ -348,5 +355,5 @@ def remove_documents(
     _invalidate_shards(paths, ckpt, affected)
     return build_index(
         corpus_after, out_dir, text_col=text_col, url_col=url_col,
-        params=params, layout=layout,
+        params=params, layout=layout, analyzer=idx.analyzer,
     )

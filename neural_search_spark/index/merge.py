@@ -52,6 +52,11 @@ def _check_compatible(a: PhysicalIndex, b: PhysicalIndex) -> None:
             "incompatible layouts: "
             f"({a.docs_per_shard},{a.block_size}) != ({b.docs_per_shard},{b.block_size})"
         )
+    if a.analyzer != b.analyzer:
+        raise ValueError(
+            f"incompatible analyzers: {a.analyzer!r} != {b.analyzer!r} — "
+            "posting terms live in different analysis spaces"
+        )
 
 
 def merge_indexes(
@@ -175,10 +180,11 @@ def merge_indexes(
                 params.epsilon,
                 span,
                 a.block_size,
+                a.analyzer,
             )
         ],
         "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-        "epsilon double, docs_per_shard long, block_size int",
+        "epsilon double, docs_per_shard long, block_size int, analyzer string",
     ).write.mode("overwrite").parquet(paths.corpus_stats)
 
     # --- lineage + manifest: a normal, fully-committed index -----------------

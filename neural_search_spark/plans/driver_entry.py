@@ -2078,6 +2078,50 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 SQL_BM25_TOPK_STEM = _stem_sql()
 
 
+def q_bm25_topk_stem_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZER-BOUND physical path under the oracle: build the
+    compressed index with ``analyzer='stem'`` (build-time fold, name
+    recorded in corpus_stats), query it with block-max WAND — which reads
+    the analyzer back and folds query tokens identically — and hash-match
+    the SAME SQL oracle as the logical ``bm25_topk_stem`` entry. Same
+    rounded-rank margin reconciliation as ``bm25_topk_wand``."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.bm25_wand import bm25_topk_wand
+
+    docs = _stem_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_stemwand_")
+    index = build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+        analyzer="stem",
+    )
+    margin_queries = [(q, t, k + _WAND_TIE_MARGIN) for q, t, k in ENTRY_QUERIES_STEM]
+    cand = bm25_topk_wand(
+        index, _queries_df(spark, margin_queries), positive_only=True
+    )
+    per_doc = cand.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+    k_df = spark.createDataFrame(
+        [(q, k) for q, _t, k in ENTRY_QUERIES_STEM], "query_id int, top_k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
 # --- Query-time term boosting (Lucene term^2.5 syntax) ------------------------
 # Boosts re-rank visibly: query 2 inverts the natural zq-vs-common balance,
 # query 4 stacks the same term at two boosts (w = 2 + 1 = 3).
@@ -2187,6 +2231,7 @@ def base_queries() -> dict:
         "bm25f_topk": q_bm25f_topk,
         "bm25_topk_stem": q_bm25_topk_stem,
         "bm25_topk_boost": q_bm25_topk_boost,
+        "bm25_topk_stem_wand": q_bm25_topk_stem_wand,
     }
 
 
@@ -2226,4 +2271,6 @@ def base_oracles() -> dict:
         "bm25f_topk": SQL_BM25F_TOPK,
         "bm25_topk_stem": SQL_BM25_TOPK_STEM,
         "bm25_topk_boost": SQL_BM25_TOPK_BOOST,
+        "bm25_topk_stem_wand": SQL_BM25_TOPK_STEM,  # analyzer-bound physical
+        # path must agree with the logical stemmed plan
     }

@@ -42,12 +42,20 @@ from .bm25_dataframe import rank_topk
 _WINDOW_DOCS = 2048
 
 
-def _query_specs(queries_rows, terms_df, positive_only=True) -> tuple[list[dict], list[str]]:
-    """Driver-side: tokenize queries, look up idfs for the touched vocabulary."""
+def _query_specs(
+    queries_rows, terms_df, positive_only=True, analyzer: str = ""
+) -> tuple[list[dict], list[str]]:
+    """Driver-side: tokenize queries, look up idfs for the touched vocabulary.
+
+    ``analyzer`` is the index-time analysis fold recorded in the index
+    (``functions/analyzers.py``); query tokens are folded identically so
+    both sides live in the same term space."""
+    from ..functions.analyzers import analyze_tokens
+
     all_terms: set[str] = set()
     specs = []
     for row in queries_rows:
-        toks = tokenize_py(row["query_text"])
+        toks = analyze_tokens(tokenize_py(row["query_text"]), analyzer)
         counts: dict[str, int] = {}
         for t in toks:
             counts[t] = counts.get(t, 0) + 1
@@ -255,7 +263,10 @@ def bm25_topk_wand(
     """
     spark = queries.sparkSession
     q_rows = [r.asDict() for r in queries.collect()]
-    specs, touched_terms = _query_specs(q_rows, index.terms, positive_only=positive_only)
+    specs, touched_terms = _query_specs(
+        q_rows, index.terms, positive_only=positive_only,
+        analyzer=getattr(index, "analyzer", ""),
+    )
     if not touched_terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
 

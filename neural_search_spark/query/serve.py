@@ -305,8 +305,10 @@ class IndexReader:
             if hit is not None:
                 return hit
 
+        from ..functions.analyzers import analyze_tokens
+
         counts: dict[str, int] = {}
-        for t in tokenize_py(text):
+        for t in analyze_tokens(tokenize_py(text), self.stats.get("analyzer") or ""):
             counts[t] = counts.get(t, 0) + 1
         qterms = {
             t: (c, self.idf[t])
@@ -371,8 +373,12 @@ class IndexReader:
             if hit is not None:
                 return hit
 
+        from ..functions.analyzers import analyze_tokens
+
+        ana = self.stats.get("analyzer") or ""
         counts: dict[tuple[str, str], int] = {}
         for clause, term in parse_bool_query(text):
+            term = analyze_tokens([term], ana)[0]
             counts[(clause, term)] = counts.get((clause, term), 0) + 1
         must_terms = sorted({t for c, t in counts if c == "must"})
         not_terms = sorted({t for c, t in counts if c == "must_not"})

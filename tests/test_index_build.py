@@ -283,3 +283,96 @@ def test_fresh_build_tokenizes_once(spark, corpus_small, tmp_path, monkeypatch):
     )
     assert calls["n"] == 1
     assert idx.postings.count() > 0
+
+
+def test_stem_analyzer_physical_index_end_to_end(spark, tmp_path_factory):
+    """An index built with analyzer='stem' is analyzer-bound: WAND and the
+    serving replica fold query tokens through the SAME stem as the build,
+    results match the logical stemmed path, maintenance preserves the
+    analyzer, and merging with a flat index refuses."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.maintenance import add_documents
+    from neural_search_spark.index.merge import merge_indexes
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+    from neural_search_spark.query.serve import IndexReader
+    from neural_search_spark.query.stemming import bm25_topk_stem
+
+    root = tmp_path_factory.mktemp("stemidx")
+    rows = [
+        (0, "u0000", "table scan fast"),
+        (1, "u0001", "tables merge slow"),
+        (2, "u0002", "key value store"),
+        (3, "u0003", "keys values stores"),
+        (4, "u0004", "window group agg"),
+        (5, "u0005", "sort shuffle spill"),
+        (6, "u0006", "filter project limit"),
+        (7, "u0007", "join hash broadcast"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = str(root / "idx")
+    layout = IndexLayout(docs_per_shard=4, block_size=4)
+    idx = build_index(
+        corpus, out, id_col="doc_id", layout=layout, n_buckets=4, analyzer="stem"
+    )
+    assert idx.analyzer == "stem"
+    assert load_index(spark, out).analyzer == "stem"
+
+    # folded vocabulary: 'tables' is gone, 'table' has df 2
+    got_df = {
+        r["term"]: r["df"]
+        for r in idx.terms.where(F.col("term").isin("table", "tables")).collect()
+    }
+    assert got_df == {"table": 2}
+
+    # WAND == logical stemmed path (match mode: plural query, singular docs)
+    qdf = spark.createDataFrame(
+        [(0, "tables", 10), (1, "keys value", 10)],
+        "query_id int, query_text string, top_k int",
+    )
+    want = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk_stem(
+            build_logical_index(corpus), qdf, positive_only=False
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_topk_wand(idx, qdf, positive_only=False).collect()
+    }
+    assert set(got) == set(want)
+    for key, (rank, score) in want.items():
+        grank, gscore = got[key]
+        assert grank == rank, key
+        assert gscore == pytest.approx(score, rel=1e-9), key
+
+    # serving replica folds identically
+    reader = IndexReader(out)
+    serve_hits = reader.query("tables", top_k=10, positive_only=False)
+    wand_single = sorted(
+        ((d, s) for (q, d), (_r, s) in got.items() if q == 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [d for d, _ in serve_hits] == [d for d, _ in wand_single]
+    for (d, s), (_d, w) in zip(serve_hits, wand_single):
+        assert s == pytest.approx(w, rel=1e-9)
+
+    # maintenance preserves the analyzer and folds the delta
+    new = spark.createDataFrame(
+        [(99, "u0099", "tables tables keys")], "doc_id long, url string, text string"
+    )
+    full = corpus.unionByName(new)
+    idx2 = add_documents(full.drop("doc_id"), out, new.drop("doc_id"))
+    assert idx2.analyzer == "stem"
+    df2 = {
+        r["term"]: r["df"]
+        for r in idx2.terms.where(F.col("term").isin("table", "tables")).collect()
+    }
+    assert df2 == {"table": 3}, "delta df must be counted in the folded space"
+
+    # merging indexes from different analysis spaces must refuse
+    flat_dir = str(root / "flat")
+    build_index(corpus, flat_dir, id_col="doc_id", layout=layout, n_buckets=4)
+    with pytest.raises(ValueError, match="analyzer"):
+        merge_indexes(spark, out, flat_dir, str(root / "merged"))
