@@ -59,6 +59,7 @@ def cmd_build(args) -> int:
         n_buckets=args.buckets,
         waves=args.waves,
         analyzer=args.analyzer or None,
+        store_positions=args.positions,
     )
     print(
         json.dumps(
@@ -216,6 +217,28 @@ def cmd_serve(args) -> int:
         if text.startswith("{"):
             try:
                 req = json.loads(text)
+                if "phrase" in req:
+                    # exact-phrase retrieval from a positional index:
+                    # {"phrase": str, "top_k"?: int} -> [(doc_id, phrase_tf)]
+                    try:
+                        ph = reader.query_phrase(
+                            req["phrase"], top_k=int(req.get("top_k", args.top_k))
+                        )
+                    except ValueError as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
+                    print(
+                        json.dumps(
+                            {
+                                "phrase": req["phrase"],
+                                "hits": [
+                                    {"doc_id": d, "phrase_tf": tf} for d, tf in ph
+                                ],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
                 if "suggest" in req:
                     # fuzzy vocabulary suggestion ("did you mean"):
                     # {"suggest": str, "n"?: int} -> [(term, distance, df)]
@@ -328,6 +351,11 @@ def main(argv: list[str] | None = None) -> int:
         "--analyzer", default="",
         help="index-time analysis fold bound to the index (e.g. 'stem'); "
         "query surfaces read it back automatically",
+    )
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store per-posting position streams (phrase/proximity serving; "
+        "postings grow by ~token count)",
     )
     common(b)
     b.set_defaults(fn=cmd_build)

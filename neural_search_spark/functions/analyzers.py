@@ -67,3 +67,25 @@ def fold_doc_terms(doc_terms: DataFrame, analyzer: str | None) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.sum("tf").alias("tf"), F.first("doc_len").alias("doc_len"))
     )
+
+
+def fold_doc_term_positions(dtp: DataFrame, analyzer: str | None) -> DataFrame:
+    """Positional variant: fold (doc_id, term, positions, doc_len).
+
+    Variants' position lists merge into one sorted list (positions are
+    disjoint — each token occupies one slot — so the merged list stays
+    strictly increasing and duplicate-free)."""
+    name = resolve_analyzer(analyzer)
+    if not name:
+        return dtp
+    col_fn = ANALYZERS[name][1]
+    return (
+        dtp.select(
+            "doc_id", col_fn(F.col("term")).alias("term"), "positions", "doc_len"
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"),
+            F.first("doc_len").alias("doc_len"),
+        )
+    )

@@ -57,6 +57,7 @@ POSTINGS_SCHEMA = (
     "shard int, bucket int, term string, block_id int, first_doc_id long, "
     "last_doc_id long, n_docs int, max_tf int, min_dl int, deltas binary, tfs binary"
 )
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA + ", positions binary"
 
 
 @dataclass
@@ -106,10 +107,24 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _encode_kernel(docs_per_shard: int, block_size: int):
+def _encode_kernel(docs_per_shard: int, block_size: int, positional: bool = False):
     # stats-independent: blocks carry (max_tf, min_dl); the WAND bound is
     # computed at query time from CURRENT idf/avgdl (see codec.py docstring),
     # so this kernel needs no term_stats join and no global stats.
+    cols = [
+        "shard",
+        "bucket",
+        "term",
+        "block_id",
+        "first_doc_id",
+        "last_doc_id",
+        "n_docs",
+        "max_tf",
+        "min_dl",
+        "deltas",
+        "tfs",
+    ] + (["positions"] if positional else [])
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
@@ -122,39 +137,26 @@ def _encode_kernel(docs_per_shard: int, block_size: int):
                 g["doc_len"].to_numpy(),
                 shard_base=base,
                 block_size=block_size,
+                pos_lists=list(g["positions"]) if positional else None,
             )
             for blk in blocks:
-                rows.append(
-                    {
-                        "shard": shard,
-                        "bucket": bucket,
-                        "term": term,
-                        "block_id": blk["block_id"],
-                        "first_doc_id": blk["first_doc_id"],
-                        "last_doc_id": blk["last_doc_id"],
-                        "n_docs": blk["n_docs"],
-                        "max_tf": blk["max_tf"],
-                        "min_dl": blk["min_dl"],
-                        "deltas": blk["deltas"],
-                        "tfs": blk["tfs"],
-                    }
-                )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "shard",
-                "bucket",
-                "term",
-                "block_id",
-                "first_doc_id",
-                "last_doc_id",
-                "n_docs",
-                "max_tf",
-                "min_dl",
-                "deltas",
-                "tfs",
-            ],
-        )
+                row = {
+                    "shard": shard,
+                    "bucket": bucket,
+                    "term": term,
+                    "block_id": blk["block_id"],
+                    "first_doc_id": blk["first_doc_id"],
+                    "last_doc_id": blk["last_doc_id"],
+                    "n_docs": blk["n_docs"],
+                    "max_tf": blk["max_tf"],
+                    "min_dl": blk["min_dl"],
+                    "deltas": blk["deltas"],
+                    "tfs": blk["tfs"],
+                }
+                if positional:
+                    row["positions"] = blk["positions"]
+                rows.append(row)
+        return pd.DataFrame(rows, columns=cols)
 
     return fn
 
@@ -171,6 +173,7 @@ def build_index(
     waves: int = 1,
     fail_after_wave: int | None = None,
     analyzer: str | None = None,
+    store_positions: bool = False,
 ) -> "PhysicalIndex":
     """Build (or resume) the sharded compressed index under ``out_dir``.
 
@@ -184,10 +187,32 @@ def build_index(
     it back and fold query tokens identically (``functions/analyzers.py``).
     A resume call must pass the same analyzer as the original build (the
     checkpoint fingerprint records it; maintenance passes it automatically).
+
+    ``store_positions`` adds a per-block positions stream (Lucene .prx
+    analog; ``codec.encode_position_lists``) so phrase/proximity queries can
+    run from the index alone — postings grow by roughly the token count,
+    the price every positional index pays. Recorded in ``corpus_stats`` and
+    the fingerprint like the analyzer.
     """
     from ..functions.analyzers import fold_doc_terms, resolve_analyzer
 
     analyzer = resolve_analyzer(analyzer)
+
+    def _tokenized(src: DataFrame) -> DataFrame:
+        """(doc_id, term, tf, doc_len [, positions]) — the analysis fold
+        applied, positional when the index stores positions."""
+        if not store_positions:
+            return fold_doc_terms(
+                doc_terms(src, id_col="doc_id", text_col=text_col), analyzer
+            )
+        from ..functions.analyzers import fold_doc_term_positions
+        from ..query.phrase import doc_term_positions
+
+        dtp = fold_doc_term_positions(
+            doc_term_positions(src, id_col="doc_id", text_col=text_col), analyzer
+        )
+        return dtp.withColumn("tf", F.size("positions"))
+
     spark = corpus.sparkSession
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
@@ -196,6 +221,13 @@ def build_index(
         raise ValueError(
             "resume analyzer mismatch: index was built with "
             f"{ckpt['fingerprint'].get('analyzer', '')!r}, call passed {analyzer!r}"
+        )
+    if ckpt and bool(ckpt.get("fingerprint", {}).get("positional", False)) != bool(
+        store_positions
+    ):
+        raise ValueError(
+            "resume positional mismatch: index was built with store_positions="
+            f"{ckpt['fingerprint'].get('positional', False)}, call passed {store_positions}"
         )
     dt_cached = None  # set when phase 1 runs in THIS call (reused by phase 2)
     try:
@@ -236,9 +268,7 @@ def build_index(
             ).collect()[0]
             n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
 
-            dt = fold_doc_terms(
-                doc_terms(with_ids, id_col="doc_id", text_col=text_col), analyzer
-            )
+            dt = _tokenized(with_ids)
             # persist the tokenized rows across phases: phase 2 (posting encode)
             # consumes the same (doc_id, term, tf) rows, and re-tokenizing is the
             # single priciest stage of the build (Python-re pandas UDF over the
@@ -269,10 +299,12 @@ def build_index(
                         span,
                         layout.block_size,
                         analyzer,
+                        bool(store_positions),
                     )
                 ],
                 "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-                "epsilon double, docs_per_shard long, block_size int, analyzer string",
+                "epsilon double, docs_per_shard long, block_size int, analyzer string, "
+                "positional boolean",
             ).write.mode("overwrite").parquet(paths.corpus_stats)
 
             ckpt = {
@@ -288,6 +320,7 @@ def build_index(
                     "docs_per_shard": span,
                     "block_size": layout.block_size,
                     "analyzer": analyzer,
+                    "positional": bool(store_positions),
                 },
                 "n_shards": max_shard + 1,
                 "done_shards": [],
@@ -325,18 +358,15 @@ def build_index(
                             ),
                             url_col,
                         )
-                    dt = fold_doc_terms(
-                        doc_terms(wave_docs, id_col="doc_id", text_col=text_col),
-                        analyzer,
-                    )
+                    dt = _tokenized(wave_docs)
                     dt = dt.withColumn("shard", (F.col("doc_id") / span).cast("int"))
                 # native crc32 (JVM-side) — bucket is internal layout only
                 dt = dt.withColumn(
                     "bucket", (F.crc32(F.encode(F.col("term"), "utf-8")) % n_buckets).cast("int")
                 )
                 encoded = dt.groupBy("shard", "bucket").applyInPandas(
-                    _encode_kernel(span, layout.block_size),
-                    schema=POSTINGS_SCHEMA,
+                    _encode_kernel(span, layout.block_size, positional=store_positions),
+                    schema=POSTINGS_SCHEMA_POS if store_positions else POSTINGS_SCHEMA,
                 )
                 encoded.write.mode("overwrite").partitionBy("shard").parquet(paths.postings)
                 elapsed = time.time() - t0
@@ -389,14 +419,16 @@ class PhysicalIndex:
     docs_per_shard: int
     block_size: int
     analyzer: str = ""
+    positional: bool = False
 
 
 def load_index(spark: SparkSession, out_dir: str) -> PhysicalIndex:
     paths = IndexPaths(out_dir)
     stats_df = spark.read.parquet(paths.corpus_stats)
     row = stats_df.collect()[0]
-    # pre-analyzer indexes have no column: identity analysis
+    # pre-analyzer/pre-positional indexes have no column: identity / False
     analyzer = row["analyzer"] if "analyzer" in stats_df.columns else ""
+    positional = bool(row["positional"]) if "positional" in stats_df.columns else False
     stats = CorpusStats(
         n_docs=int(row["n_docs"]),
         avgdl=float(row["avgdl"]),
@@ -414,4 +446,5 @@ def load_index(spark: SparkSession, out_dir: str) -> PhysicalIndex:
         docs_per_shard=int(row["docs_per_shard"]),
         block_size=int(row["block_size"]),
         analyzer=analyzer or "",
+        positional=positional,
     )

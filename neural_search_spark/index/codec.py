@@ -207,6 +207,35 @@ def decode_doc_ids(buf: bytes, base: int, count: int | None = None) -> np.ndarra
     return (np.cumsum(deltas.astype(np.int64)) + base).astype(np.int64)
 
 
+def encode_position_lists(pos_lists: list) -> bytes:
+    """Encode per-doc position lists (1-based, strictly increasing) as one
+    delta stream: each list's first element is absolute, the rest are gaps.
+    Segment lengths are NOT stored — they are the block's tfs, which the
+    posting block already carries (Lucene's .prx makes the same bet)."""
+    if not pos_lists:
+        return encode_ints(np.zeros(0, dtype=np.uint64))
+    lens = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    p_all = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+    prev = np.concatenate(([0], p_all[:-1]))
+    starts = np.cumsum(lens) - lens
+    prev[starts] = 0
+    return encode_ints((p_all - prev).astype(np.uint64))
+
+
+def decode_position_lists(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of ``encode_position_lists``; ``tfs`` gives segment lengths."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in tfs]
+    vals = decode_ints(buf, total).astype(np.int64)
+    ends = np.cumsum(tfs)
+    c = np.cumsum(vals)
+    seg_offsets = np.concatenate(([0], c[ends[:-1] - 1]))
+    abs_pos = c - np.repeat(seg_offsets, tfs)
+    return np.split(abs_pos, ends[:-1])
+
+
 def bm25_term_bound(
     tf: np.ndarray, doc_len: np.ndarray, idf: float, k1: float, b: float, avgdl: float
 ) -> np.ndarray:
@@ -236,34 +265,41 @@ def encode_posting_blocks(
     doc_lens: np.ndarray,
     shard_base: int,
     block_size: int = _BLOCK,
+    pos_lists: list | None = None,
 ) -> list[dict]:
     """Split one term's sorted shard postings into compressed blocks.
 
     Returns a list of dicts ready to become parquet rows:
-    {block_id, first_doc_id, last_doc_id, n_docs, max_tf, min_dl, deltas, tfs}
-    Blocks depend only on the shard's own (doc_id, tf, doc_len) — never on
-    global stats — so incremental maintenance touches only changed shards.
+    {block_id, first_doc_id, last_doc_id, n_docs, max_tf, min_dl, deltas, tfs
+    [, positions]}. Blocks depend only on the shard's own (doc_id, tf,
+    doc_len) — never on global stats — so incremental maintenance touches
+    only changed shards. ``pos_lists`` (aligned with the input arrays) adds
+    a per-block positions stream (``encode_position_lists``) for
+    phrase/proximity serving.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     doc_lens = np.asarray(doc_lens, dtype=np.int64)[order]
+    if pos_lists is not None:
+        pos_lists = [pos_lists[i] for i in order]
     out = []
     for bi, start in enumerate(range(0, len(doc_ids), block_size)):
         sl = slice(start, start + block_size)
         ids = doc_ids[sl]
-        out.append(
-            {
-                "block_id": bi,
-                "first_doc_id": int(ids[0]),
-                "last_doc_id": int(ids[-1]),
-                "n_docs": int(len(ids)),
-                "max_tf": int(tfs[sl].max()),
-                "min_dl": int(doc_lens[sl].min()),
-                "deltas": encode_doc_ids(ids, shard_base if start == 0 else int(doc_ids[start - 1])),
-                "tfs": encode_ints(tfs[sl].astype(np.uint64)),
-            }
-        )
+        row = {
+            "block_id": bi,
+            "first_doc_id": int(ids[0]),
+            "last_doc_id": int(ids[-1]),
+            "n_docs": int(len(ids)),
+            "max_tf": int(tfs[sl].max()),
+            "min_dl": int(doc_lens[sl].min()),
+            "deltas": encode_doc_ids(ids, shard_base if start == 0 else int(doc_ids[start - 1])),
+            "tfs": encode_ints(tfs[sl].astype(np.uint64)),
+        }
+        if pos_lists is not None:
+            row["positions"] = encode_position_lists(pos_lists[sl])
+        out.append(row)
     return out
 
 
@@ -280,3 +316,21 @@ def decode_posting_blocks(blocks: list[dict], shard_base: int) -> tuple[np.ndarr
     if not all_ids:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     return np.concatenate(all_ids), np.concatenate(all_tfs)
+
+
+def decode_posting_blocks_with_positions(
+    blocks: list[dict], shard_base: int
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """(doc_ids, tfs, per-doc position lists) for a positional term."""
+    all_ids, all_tfs, all_pos = [], [], []
+    prev_last = shard_base
+    for blk in sorted(blocks, key=lambda x: x["block_id"]):
+        ids = decode_doc_ids(blk["deltas"], prev_last, blk["n_docs"])
+        tfs = decode_ints(blk["tfs"], blk["n_docs"]).astype(np.int64)
+        all_ids.append(ids)
+        all_tfs.append(tfs)
+        all_pos.extend(decode_position_lists(blk["positions"], tfs))
+        prev_last = int(ids[-1])
+    if not all_ids:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64), []
+    return np.concatenate(all_ids), np.concatenate(all_tfs), all_pos

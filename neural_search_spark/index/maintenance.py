@@ -66,6 +66,7 @@ def _rewrite_stats(
     params: BM25Params,
     layout: IndexLayout,
     analyzer: str = "",
+    positional: bool = False,
 ) -> None:
     """Recompute average_idf + idf floors over the updated vocabulary and
     atomically replace term_stats/corpus_stats (write-new + rename)."""
@@ -94,10 +95,12 @@ def _rewrite_stats(
                 layout.docs_per_shard,
                 layout.block_size,
                 analyzer,
+                bool(positional),
             )
         ],
         "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-        "epsilon double, docs_per_shard long, block_size int, analyzer string",
+        "epsilon double, docs_per_shard long, block_size int, analyzer string, "
+        "positional boolean",
     ).write.mode("overwrite").parquet(paths.corpus_stats + "__new")
     for p in (paths.term_stats, paths.corpus_stats):
         old = p + "__old"
@@ -242,7 +245,7 @@ def add_documents(
     )
     n_docs = n_old + n_new
     avgdl = (idx.stats.avgdl * n_old + sum_dl_new) / n_docs
-    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer)
+    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer, positional=idx.positional)
 
     # postings: rebuild only the affected shards via the resume machinery
     ckpt["n_shards"] = max(int(ckpt["n_shards"]), affected[-1] + 1) if affected else ckpt["n_shards"]
@@ -253,7 +256,7 @@ def add_documents(
     delta.unpersist()
     return build_index(
         corpus, out_dir, text_col=text_col, url_col=url_col, params=params,
-        layout=layout, analyzer=idx.analyzer,
+        layout=layout, analyzer=idx.analyzer, store_positions=idx.positional,
     )
 
 
@@ -344,7 +347,7 @@ def remove_documents(
     if n_docs == 0:
         raise ValueError("removing every document; drop the index instead")
     avgdl = (idx.stats.avgdl * n_old - sum_dl_removed) / n_docs
-    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer)
+    _rewrite_stats(spark, paths, merged, n_docs, avgdl, params, layout, analyzer=idx.analyzer, positional=idx.positional)
 
     # docmap: affected partitions minus the removed rows
     surviving = idx.docmap.where(F.col("shard").isin(affected)).join(
@@ -355,5 +358,5 @@ def remove_documents(
     _invalidate_shards(paths, ckpt, affected)
     return build_index(
         corpus_after, out_dir, text_col=text_col, url_col=url_col,
-        params=params, layout=layout, analyzer=idx.analyzer,
+        params=params, layout=layout, analyzer=idx.analyzer, store_positions=idx.positional,
     )

@@ -57,6 +57,12 @@ def _check_compatible(a: PhysicalIndex, b: PhysicalIndex) -> None:
             f"incompatible analyzers: {a.analyzer!r} != {b.analyzer!r} — "
             "posting terms live in different analysis spaces"
         )
+    if a.positional != b.positional:
+        raise ValueError(
+            "incompatible position storage: "
+            f"{a.positional} != {b.positional} — a merged index must be "
+            "uniformly phrase-queryable or not"
+        )
 
 
 def merge_indexes(
@@ -122,7 +128,7 @@ def merge_indexes(
         "min_dl",
         "deltas",
         "tfs",
-    ]
+    ] + (["positions"] if a.positional else [])
     p_b = b.postings.select(
         (F.col("shard") + shard_shift).cast("int").alias("shard"),
         "bucket",
@@ -135,6 +141,7 @@ def merge_indexes(
         "min_dl",
         "deltas",
         "tfs",
+        *(["positions"] if a.positional else []),
     )
     a.postings.select(*post_cols).unionByName(p_b).write.mode("overwrite").partitionBy(
         "shard"
@@ -181,10 +188,12 @@ def merge_indexes(
                 span,
                 a.block_size,
                 a.analyzer,
+                bool(a.positional),
             )
         ],
         "n_docs long, avgdl double, average_idf double, k1 double, b double, "
-        "epsilon double, docs_per_shard long, block_size int, analyzer string",
+        "epsilon double, docs_per_shard long, block_size int, analyzer string, "
+        "positional boolean",
     ).write.mode("overwrite").parquet(paths.corpus_stats)
 
     # --- lineage + manifest: a normal, fully-committed index -----------------

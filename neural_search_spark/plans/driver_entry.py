@@ -1123,6 +1123,30 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk(pos, spark, ENTRY_PHRASES)
 
 
+def q_phrase_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval from the POSITIONAL physical index under the oracle:
+    build with ``store_positions=True``, decode only the phrase terms'
+    posting blocks, run the same codegen match plan — and hash-match the
+    same SQL oracle as the corpus-scan ``phrase_topk`` entry. phrase_tf is
+    an exact integer, so no rounding reconciliation is needed."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.phrase import phrase_topk_indexed
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_posidx_")
+    index = build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+        store_positions=True,
+    )
+    return phrase_topk_indexed(index, spark, ENTRY_PHRASES)
+
+
 def _phrase_match_sql(pid: int, text: str, k: int) -> str:
     toks = tokenize_py(text)
     joins = [
@@ -2232,6 +2256,7 @@ def base_queries() -> dict:
         "bm25_topk_stem": q_bm25_topk_stem,
         "bm25_topk_boost": q_bm25_topk_boost,
         "bm25_topk_stem_wand": q_bm25_topk_stem_wand,
+        "phrase_topk_indexed": q_phrase_topk_indexed,
     }
 
 
@@ -2273,4 +2298,6 @@ def base_oracles() -> dict:
         "bm25_topk_boost": SQL_BM25_TOPK_BOOST,
         "bm25_topk_stem_wand": SQL_BM25_TOPK_STEM,  # analyzer-bound physical
         # path must agree with the logical stemmed plan
+        "phrase_topk_indexed": SQL_PHRASE_TOPK,  # positional index must agree
+        # with the corpus-scan phrase plan
     }

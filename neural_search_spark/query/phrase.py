@@ -257,3 +257,74 @@ def phrase_topk(
             F.col("phrase_tf").cast("long").alias("phrase_tf"),
         )
     )
+
+
+# --- Phrase retrieval straight from the positional physical index ------------
+
+
+def indexed_positions(index, terms: list[str]) -> DataFrame:
+    """(doc_id, term, positions) decoded from a positional ``PhysicalIndex``.
+
+    The ``term IN (...)`` predicate is pushed to the postings parquet scan
+    (row-group pruning on term statistics, same shape as the WAND scan), so
+    only the phrase's own posting blocks are read — at 10^12 docs the scan
+    cost is the phrase terms' postings, not the corpus. Decode runs in the
+    same Arrow applyInPandas shape as the maintenance decoder.
+    """
+    if not getattr(index, "positional", False):
+        raise ValueError(
+            "index stores no positions; rebuild with store_positions=True"
+        )
+    from ..index.codec import decode_ints, decode_position_lists
+
+    span = index.docs_per_shard
+    pf = index.postings.where(F.col("term").isin(list(terms))).select(
+        "shard", "bucket", "term", "block_id", "n_docs", "deltas", "tfs", "positions"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        shard = int(pdf["shard"].iloc[0])
+        base = shard * span
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_p: list[list[int]] = []
+        for term, g in pdf.groupby("term", sort=False):
+            g = g.sort_values("block_id")
+            prev = base
+            for _, blk in g.iterrows():
+                n = int(blk["n_docs"])
+                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
+                ids = np.cumsum(deltas) + prev
+                prev = int(ids[-1])
+                tfs = decode_ints(bytes(blk["tfs"]), n).astype(np.int64)
+                plists = decode_position_lists(bytes(blk["positions"]), tfs)
+                out_d.extend(ids.tolist())
+                out_t.extend([term] * n)
+                out_p.extend([p.astype(np.int32).tolist() for p in plists])
+        return pd.DataFrame({"doc_id": out_d, "term": out_t, "positions": out_p})
+
+    return pf.groupBy("shard", "bucket").applyInPandas(
+        kernel, schema="doc_id long, term string, positions array<int>"
+    )
+
+
+def phrase_topk_indexed(
+    index, spark, phrases: list[tuple[int, str, int]]
+) -> DataFrame:
+    """``phrase_topk`` served from the positional physical index: decode the
+    phrase terms' blocks, then run the SAME codegen match plan — semantics
+    are identical to the corpus-scan path by construction. Phrase tokens
+    pass through the index's bound analyzer (``functions/analyzers.py``)."""
+    from ..functions.analyzers import analyze_tokens
+
+    ana = getattr(index, "analyzer", "")
+    if ana:
+        phrases = [
+            (pid, " ".join(analyze_tokens(tokenize_py(text), ana)), k)
+            for pid, text, k in phrases
+        ]
+    all_terms = sorted({t for _pid, text, _k in phrases for t in tokenize_py(text)})
+    pos = indexed_positions(index, all_terms)
+    return phrase_topk(pos, spark, phrases)

@@ -202,6 +202,111 @@ class IndexReader:
                 self.cache.set(TtlLruCache.make_postings_key(t, self.snapshot), out[t])
         return out
 
+    def _positions_for(self, terms: list[str]) -> dict:
+        """term -> [(shard, doc_ids, pos_lists)] from a positional index.
+
+        Same pushdown-pruned read shape as ``_postings_for`` plus the
+        positions stream; cached under a ``pos:``-prefixed keyspace so flat
+        posting entries never collide."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..index.codec import decode_ints, decode_position_lists
+
+        out: dict = {}
+        missing: list[str] = []
+        for t in terms:
+            if self.cache is not None:
+                hit = self.cache.get(
+                    TtlLruCache.make_postings_key(f"pos:{t}", self.snapshot)
+                )
+                if hit is not None:
+                    out[t] = hit
+                    continue
+            missing.append(t)
+        if not missing:
+            return out
+
+        span = self.docs_per_shard
+        table = pq.read_table(
+            os.path.join(self.root, "postings"),
+            columns=[
+                "shard", "term", "block_id", "n_docs", "deltas", "tfs", "positions",
+            ],
+            filters=pc.field("term").isin(missing),
+        )
+        by_key: dict = {}
+        for r in table.to_pylist():
+            by_key.setdefault((r["term"], int(r["shard"])), []).append(r)
+        per_term: dict = {t: [] for t in missing}
+        for (term, shard), blocks in sorted(by_key.items()):
+            blocks.sort(key=lambda x: int(x["block_id"]))
+            prev = shard * span
+            ids_parts, pos_parts = [], []
+            for blk in blocks:
+                n = int(blk["n_docs"])
+                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
+                ids = np.cumsum(deltas) + prev
+                prev = int(ids[-1])
+                tfs = decode_ints(bytes(blk["tfs"]), n).astype(np.int64)
+                ids_parts.append(ids)
+                pos_parts.extend(decode_position_lists(bytes(blk["positions"]), tfs))
+            per_term[term].append((shard, np.concatenate(ids_parts), pos_parts))
+        for t in missing:
+            out[t] = per_term[t]
+            if self.cache is not None:
+                self.cache.set(
+                    TtlLruCache.make_postings_key(f"pos:{t}", self.snapshot), out[t]
+                )
+        return out
+
+    def query_phrase(self, text: str, top_k: int = 10) -> list[tuple[int, int]]:
+        """[(doc_id, phrase_tf)] — exact-phrase retrieval from the positional
+        index, (phrase_tf desc, doc_id asc), identical semantics to the
+        cluster operator ``query/phrase.py:phrase_topk`` (parity pinned in
+        tests/test_serve.py). Requires an index built with
+        ``store_positions=True``; query tokens pass through the index's
+        bound analyzer like every other surface."""
+        if not bool(self.stats.get("positional")):
+            raise ValueError(
+                "index stores no positions; rebuild with store_positions=True"
+            )
+        from ..functions.analyzers import analyze_tokens
+
+        toks = analyze_tokens(
+            tokenize_py(text), self.stats.get("analyzer") or ""
+        )
+        if not toks:
+            return []
+        distinct = sorted(set(toks))
+        if any(t not in self.idf for t in distinct):
+            return []  # a phrase containing an unknown term matches nothing
+        pos = self._positions_for(distinct)
+        # per-term doc -> positions map (concatenated over shards)
+        by_term: dict[str, dict[int, np.ndarray]] = {}
+        for t in distinct:
+            m: dict[int, np.ndarray] = {}
+            for _shard, ids, plists in pos[t]:
+                for d, p in zip(ids.tolist(), plists):
+                    m[d] = p
+            by_term[t] = m
+        # candidates: docs containing every distinct phrase term
+        cand = set.intersection(*(set(by_term[t]) for t in distinct))
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            inter: np.ndarray | None = None
+            for off, t in enumerate(toks):
+                shifted = by_term[t][d] - off
+                inter = shifted if inter is None else np.intersect1d(
+                    inter, shifted, assume_unique=True
+                )
+                if inter.size == 0:
+                    break
+            if inter is not None and inter.size:
+                hits.append((d, int(inter.size)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:top_k]
+
     # -- suggestion ---------------------------------------------------------
 
     def suggest(

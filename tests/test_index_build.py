@@ -376,3 +376,85 @@ def test_stem_analyzer_physical_index_end_to_end(spark, tmp_path_factory):
     build_index(corpus, flat_dir, id_col="doc_id", layout=layout, n_buckets=4)
     with pytest.raises(ValueError, match="analyzer"):
         merge_indexes(spark, out, flat_dir, str(root / "merged"))
+
+
+def test_positional_index_phrase_end_to_end(spark, tmp_path_factory):
+    """store_positions=True: phrase retrieval straight from the compressed
+    index equals the corpus-scan phrase plan; the serving replica agrees;
+    maintenance preserves position storage; flat+positional merge refuses;
+    BM25 results are unchanged by position storage."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.index.maintenance import add_documents
+    from neural_search_spark.index.merge import merge_indexes
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+    from neural_search_spark.query.phrase import (
+        doc_term_positions,
+        phrase_topk,
+        phrase_topk_indexed,
+    )
+    from neural_search_spark.query.serve import IndexReader
+
+    root = tmp_path_factory.mktemp("positional")
+    rows = [
+        (0, "u0000", "big data engine runs fast big data wins"),
+        (1, "u0001", "data big engine the fast runs"),
+        (2, "u0002", "big data big data big data"),
+        (3, "u0003", "engine fast and slow"),
+        (4, "u0004", "entirely different words here"),
+        (5, "u0005", "big rig data center"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = str(root / "idx")
+    layout = IndexLayout(docs_per_shard=4, block_size=2)
+    idx = build_index(
+        corpus, out, id_col="doc_id", layout=layout, n_buckets=4,
+        store_positions=True,
+    )
+    assert idx.positional and load_index(spark, out).positional
+
+    phrases = [(0, "big data", 10), (1, "data big engine", 10), (2, "big center", 10)]
+    want = sorted(
+        map(tuple, phrase_topk(doc_term_positions(corpus), spark, phrases).collect())
+    )
+    got = sorted(map(tuple, phrase_topk_indexed(idx, spark, phrases).collect()))
+    assert got == want and len(got) > 0
+    # doc 2 has phrase_tf 3 for "big data": positions survive blocks exactly
+    big_data = {(d, tf) for (p, _r, d, tf) in got if p == 0}
+    assert big_data == {(2, 3), (0, 2)}  # doc 1 has "data big", not the phrase
+    assert all(d != 5 for d, _ in big_data), "'big rig data' is not a phrase hit"
+
+    # serving replica parity
+    reader = IndexReader(out)
+    serve_hits = reader.query_phrase("big data", top_k=10)
+    want_serve = sorted(
+        ((d, tf) for (p, _r, d, tf) in got if p == 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert serve_hits == want_serve
+    assert reader.query_phrase("nosuchterm data") == []
+
+    # BM25 paths are untouched by position storage
+    qdf = spark.createDataFrame(
+        [(0, "big data", 10)], "query_id int, query_text string, top_k int"
+    )
+    flat_dir = str(root / "flat")
+    flat = build_index(corpus, flat_dir, id_col="doc_id", layout=layout, n_buckets=4)
+    a = sorted(map(tuple, bm25_topk_wand(idx, qdf, positive_only=False).collect()))
+    b = sorted(map(tuple, bm25_topk_wand(flat, qdf, positive_only=False).collect()))
+    assert a == b
+
+    # maintenance keeps positions: the added doc is phrase-findable
+    new = spark.createDataFrame(
+        [(99, "u0099", "totally big data moment")], "doc_id long, url string, text string"
+    )
+    full = corpus.unionByName(new)
+    idx2 = add_documents(full.drop("doc_id"), out, new.drop("doc_id"))
+    assert idx2.positional
+    reader.refresh()
+    hits2 = reader.query_phrase("big data", top_k=20)
+    assert len(hits2) == len(want_serve) + 1
+
+    # merging flat with positional refuses
+    with pytest.raises(ValueError, match="position"):
+        merge_indexes(spark, out, flat_dir, str(root / "merged"))
