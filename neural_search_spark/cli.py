@@ -239,6 +239,29 @@ def cmd_serve(args) -> int:
                         flush=True,
                     )
                     continue
+                if "near" in req:
+                    # unordered proximity from a positional index:
+                    # {"near": str, "span": int, "top_k"?: int}
+                    try:
+                        nh = reader.query_near(
+                            req["near"], max_span=int(req["span"]),
+                            top_k=int(req.get("top_k", args.top_k)),
+                        )
+                    except ValueError as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
+                    print(
+                        json.dumps(
+                            {
+                                "near": req["near"],
+                                "hits": [
+                                    {"doc_id": d, "min_window": w} for d, w in nh
+                                ],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
                 if "suggest" in req:
                     # fuzzy vocabulary suggestion ("did you mean"):
                     # {"suggest": str, "n"?: int} -> [(term, distance, df)]

@@ -1147,6 +1147,28 @@ def q_phrase_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_indexed(index, spark, ENTRY_PHRASES)
 
 
+def q_proximity_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR retrieval from the positional physical index (built over the
+    augmented corpus, matching the corpus-scan proximity entry's view),
+    hash-matched against the same brute-force SQL oracle."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.phrase import proximity_topk_indexed
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_nearidx_")
+    index = build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+        store_positions=True,
+    )
+    return proximity_topk_indexed(index, spark, ENTRY_PROX_QUERIES)
+
+
 def _phrase_match_sql(pid: int, text: str, k: int) -> str:
     toks = tokenize_py(text)
     joins = [
@@ -2257,6 +2279,7 @@ def base_queries() -> dict:
         "bm25_topk_boost": q_bm25_topk_boost,
         "bm25_topk_stem_wand": q_bm25_topk_stem_wand,
         "phrase_topk_indexed": q_phrase_topk_indexed,
+        "proximity_topk_indexed": q_proximity_topk_indexed,
     }
 
 
@@ -2300,4 +2323,6 @@ def base_oracles() -> dict:
         # path must agree with the logical stemmed plan
         "phrase_topk_indexed": SQL_PHRASE_TOPK,  # positional index must agree
         # with the corpus-scan phrase plan
+        "proximity_topk_indexed": SQL_PROXIMITY_TOPK,  # NEAR from the index
+        # must agree with the corpus-scan brute-force oracle
     }

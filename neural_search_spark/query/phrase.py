@@ -328,3 +328,25 @@ def phrase_topk_indexed(
     all_terms = sorted({t for _pid, text, _k in phrases for t in tokenize_py(text)})
     pos = indexed_positions(index, all_terms)
     return phrase_topk(pos, spark, phrases)
+
+
+def proximity_topk_indexed(
+    index, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """``proximity_topk`` served from the positional physical index — same
+    decode-only-the-query-terms scan as ``phrase_topk_indexed``, same
+    codegen min-cover fold; query tokens pass through the index's bound
+    analyzer."""
+    from ..functions.analyzers import analyze_tokens
+
+    ana = getattr(index, "analyzer", "")
+    if ana:
+        queries = [
+            (qid, " ".join(analyze_tokens(tokenize_py(text), ana)), k, span)
+            for qid, text, k, span in queries
+        ]
+    all_terms = sorted(
+        {t for _qid, text, _k, _s in queries for t in tokenize_py(text)}
+    )
+    pos = indexed_positions(index, all_terms)
+    return proximity_topk(pos, spark, queries)

@@ -307,6 +307,57 @@ class IndexReader:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:top_k]
 
+    def query_near(
+        self, text: str, max_span: int, top_k: int = 10
+    ) -> list[tuple[int, int]]:
+        """[(doc_id, min_window)] — unordered proximity (NEAR) from the
+        positional index: smallest token window containing every distinct
+        query term, kept iff <= ``max_span``; (min_window asc, doc_id asc).
+        Identical semantics to ``query/phrase.py:proximity_topk`` (the
+        linear min-cover scan), parity pinned in tests/test_serve.py."""
+        if not bool(self.stats.get("positional")):
+            raise ValueError(
+                "index stores no positions; rebuild with store_positions=True"
+            )
+        from ..functions.analyzers import analyze_tokens
+
+        toks = analyze_tokens(
+            tokenize_py(text), self.stats.get("analyzer") or ""
+        )
+        terms = sorted(set(toks))
+        if not terms or any(t not in self.idf for t in terms):
+            return []
+        pos = self._positions_for(terms)
+        by_term: dict[str, dict[int, np.ndarray]] = {}
+        for t in terms:
+            m: dict[int, np.ndarray] = {}
+            for _shard, ids, plists in pos[t]:
+                for d, p in zip(ids.tolist(), plists):
+                    m[d] = p
+            by_term[t] = m
+        cand = set.intersection(*(set(by_term[t]) for t in terms))
+        n = len(terms)
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            occ = sorted(
+                (int(p), tid)
+                for tid, t in enumerate(terms)
+                for p in by_term[t][d]
+            )
+            last = [-1] * n
+            best = None
+            for p, tid in occ:
+                last[tid] = p
+                mn = min(last)
+                if mn >= 0:
+                    w = p - mn + 1
+                    if best is None or w < best:
+                        best = w
+            if best is not None and best <= max_span:
+                hits.append((d, best))
+        hits.sort(key=lambda x: (x[1], x[0]))
+        return hits[:top_k]
+
     # -- suggestion ---------------------------------------------------------
 
     def suggest(

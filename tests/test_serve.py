@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from neural_search_spark.config import IndexLayout
 from neural_search_spark.corpus import write_corpus_parquet
-from neural_search_spark.index.build import build_index
+from neural_search_spark.index.build import build_index, load_index
 from neural_search_spark.index.docmap import assign_doc_ids
 from neural_search_spark.query.bm25_wand import bm25_topk_wand
 from neural_search_spark.query.serve import IndexReader
@@ -301,3 +301,66 @@ def test_reader_search_after_within_tied_scores(served):
         text, top_k=5, positive_only=False, score_rounding=2, search_after=cursor
     )
     assert nxt == full[run_start + 1 : run_start + 6]
+
+
+def test_reader_phrase_and_near_on_positional_index(spark, tmp_path_factory):
+    """Replica phrase + NEAR parity with the cluster operators on a
+    positional index."""
+    from neural_search_spark.query.phrase import (
+        phrase_topk_indexed,
+        proximity_topk_indexed,
+    )
+
+    root = tmp_path_factory.mktemp("posserve")
+    rows = [
+        (0, "u0", "alpha beta gamma delta alpha beta"),
+        (1, "u1", "beta alpha delta gamma"),
+        (2, "u2", "alpha x x x beta"),
+        (3, "u3", "unrelated words only"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = str(root / "idx")
+    build_index(
+        corpus, out, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=2, block_size=2), n_buckets=2,
+        store_positions=True,
+    )
+    reader = IndexReader(out)
+
+    got_ph = reader.query_phrase("alpha beta", top_k=10)
+    want_ph = sorted(
+        (
+            (r["doc_id"], r["phrase_tf"])
+            for r in phrase_topk_indexed(
+                load_index(spark, out), spark, [(0, "alpha beta", 10)]
+            ).collect()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got_ph == want_ph
+    assert got_ph[0] == (0, 2)  # doc 0 contains "alpha beta" twice
+
+    got_nr = reader.query_near("alpha beta", max_span=5, top_k=10)
+    want_nr = sorted(
+        (
+            (r["doc_id"], r["min_window"])
+            for r in proximity_topk_indexed(
+                load_index(spark, out), spark, [(0, "alpha beta", 10, 5)]
+            ).collect()
+        ),
+        key=lambda x: (x[1], x[0]),
+    )
+    assert got_nr == want_nr
+    assert (1, 2) in got_nr and (0, 2) in got_nr and (2, 5) in got_nr
+
+    # non-positional index refuses with a clear error
+    flat_out = str(root / "flat")
+    build_index(
+        corpus, flat_out, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=2, block_size=2), n_buckets=2,
+    )
+    flat_reader = IndexReader(flat_out)
+    with pytest.raises(ValueError, match="positions"):
+        flat_reader.query_phrase("alpha beta")
+    with pytest.raises(ValueError, match="positions"):
+        flat_reader.query_near("alpha beta", max_span=3)
