@@ -190,6 +190,36 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 timings[name] = time.time() - t0
         except ImportError:
             pass
+
+        # positional index: build cost + phrase-from-index query cost, and
+        # the position-stream byte overhead vs the flat postings (the price
+        # of phrase serving; not in the r01 headline total)
+        try:
+            from neural_search_spark.plans.driver_entry import ENTRY_PHRASES
+            from neural_search_spark.query.phrase import phrase_topk_indexed
+
+            pos_dir = tempfile.mkdtemp(prefix="nss_bench_idx_pos_")
+            try:
+                t0 = time.time()
+                pos_index = build_index(
+                    docs, pos_dir, id_col="doc_id", layout=layout, n_buckets=16,
+                    store_positions=True,
+                )
+                timings["index_build_positional"] = time.time() - t0
+                t0 = time.time()
+                phrase_topk_indexed(pos_index, spark, ENTRY_PHRASES).count()
+                timings["phrase_topk_indexed"] = time.time() - t0
+                pmetrics = spark.read.parquet(f"{pos_dir}/_metrics").collect()
+                extras["positional_postings_bytes"] = float(
+                    sum(
+                        r["deltas_bytes"] + r["tfs_bytes"] + r["positions_bytes"]
+                        for r in pmetrics
+                    )
+                )
+            finally:
+                shutil.rmtree(pos_dir, ignore_errors=True)
+        except ImportError:
+            pass
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     timings.update({f"_{k}": v for k, v in extras.items()})
@@ -227,6 +257,7 @@ def main() -> None:
         "wand_skip_rate": round(extras.get("wand_skip_rate", 0.0), 3),
         "index_build_aug_sec": round(extras.get("index_build_aug_sec", 0.0), 3),
         "postings_bytes": int(extras.get("postings_bytes", 0)),
+        "positional_postings_bytes": int(extras.get("positional_postings_bytes", 0)),
         "total_all_ops": round(sum(queries.values()), 3),
     }
 

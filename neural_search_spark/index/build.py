@@ -381,6 +381,11 @@ def build_index(
                     F.count(F.lit(1)).alias("n_blocks"),
                     F.sum(F.octet_length("deltas")).alias("deltas_bytes"),
                     F.sum(F.octet_length("tfs")).alias("tfs_bytes"),
+                    (
+                        F.sum(F.octet_length("positions"))
+                        if store_positions
+                        else F.sum(F.lit(0)).cast("long")
+                    ).alias("positions_bytes"),
                 ).select(
                     F.lit(ckpt["build_id"]).alias("build_id"),
                     F.lit(wi // wave_size).alias("wave"),
@@ -390,6 +395,7 @@ def build_index(
                     "n_blocks",
                     "deltas_bytes",
                     "tfs_bytes",
+                    "positions_bytes",
                     F.lit(elapsed).alias("elapsed_sec"),
                 )
                 metrics.write.mode("append").parquet(paths.metrics)

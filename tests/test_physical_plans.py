@@ -167,3 +167,25 @@ def test_bm25f_broadcasts_query_side_and_partial_aggs(spark, stored_corpus):
     # partial aggregation before the exchange (HashAggregate appears in
     # partial_count / merge_count pairs around the shuffle)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_indexed_positions_scan_prunes_terms_and_columns(spark, corpus_small, tmp_path_factory):
+    """The phrase-from-index scan must push the term IN filter to the
+    postings parquet scan and never read the posting payload columns it
+    doesn't need (a phrase query reads the phrase terms' blocks only)."""
+    from neural_search_spark.config import IndexLayout
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.query.phrase import indexed_positions
+
+    out = str(tmp_path_factory.mktemp("posplan") / "idx")
+    idx = build_index(
+        assign_doc_ids(corpus_small, order_col="url"), out, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=64, block_size=16), n_buckets=4,
+        store_positions=True,
+    )
+    plan = _plan(indexed_positions(idx, ["w0001", "w0002"]))
+    assert "PushedFilters" in plan and "In(term" in plan
+    # column pruning: the WAND-only metadata never leaves the scan
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "max_tf" not in read_schema and "min_dl" not in read_schema
