@@ -186,7 +186,7 @@ def cmd_serve(args) -> int:
         from .query.ratelimit import SlidingWindowLimiter
 
         limiter = SlidingWindowLimiter(args.rate_limit, args.rate_window)
-    reader = IndexReader(args.index, cache=cache)
+    reader = IndexReader(args.index, cache=cache, corpus_path=args.corpus)
     for line in sys.stdin:
         text = line.strip()
         if not text:
@@ -288,6 +288,10 @@ def cmd_serve(args) -> int:
                 search_after = (
                     (float(sa[0]), int(sa[1])) if sa is not None else None
                 )
+                hydrate = bool(req.get("hydrate"))
+                snippet_window = (
+                    int(req["snippet_window"]) if "snippet_window" in req else None
+                )
             except (ValueError, KeyError, IndexError, TypeError) as e:
                 print(json.dumps({"error": f"bad request line: {e}"}), flush=True)
                 continue
@@ -295,6 +299,8 @@ def cmd_serve(args) -> int:
             use_bool = False
             offset = 0
             search_after = None
+            hydrate = False
+            snippet_window = None
         t0 = time.perf_counter()
         if use_bool:
             # {"query": "+must -not should", "bool": true}: Lucene-style
@@ -309,12 +315,23 @@ def cmd_serve(args) -> int:
                 allowed_docs=allowed, offset=offset, search_after=search_after,
             )
         ms = (time.perf_counter() - t0) * 1000
+        hit_rows = [{"doc_id": d, "score": s} for d, s in hits]
+        if hydrate:
+            try:
+                hd = reader.hydrate(
+                    [d for d, _ in hits], query=text, snippet_window=snippet_window
+                )
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}), flush=True)
+                continue
+            for row in hit_rows:
+                row.update(hd.get(row["doc_id"], {}))
         print(
             json.dumps(
                 {
                     "query": text,
                     "latency_ms": round(ms, 3),
-                    "hits": [{"doc_id": d, "score": s} for d, s in hits],
+                    "hits": hit_rows,
                 }
             ),
             flush=True,
@@ -433,6 +450,12 @@ def main(argv: list[str] | None = None) -> int:
     # behavior, a positive value turns enforcement on per replica
     sv.add_argument("--rate-limit", type=int, default=0, help="max requests per window; 0 = off")
     sv.add_argument("--rate-window", type=float, default=60.0, help="window seconds")
+    sv.add_argument(
+        "--corpus", default=None,
+        help="corpus parquet path (url, text); enables result hydration "
+        "(url + content per hit, the reference's response shape) and "
+        "snippets via {\"hydrate\": true, \"snippet_window\": W}",
+    )
     sv.set_defaults(fn=cmd_serve)
 
     wu = sub.add_parser("warmup")

@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..functions.tokenize import tokenize_py
+from ..functions.tokenize import _TOKEN_RE, tokenize_py
 from .cache import TtlLruCache
 
 
@@ -85,6 +85,7 @@ class _ShardState:
 class IndexReader:
     root: str
     cache: TtlLruCache | None = None
+    corpus_path: str | None = None
     stats: dict = field(init=False)
     idf: dict = field(init=False)
     df: dict = field(init=False)
@@ -357,6 +358,78 @@ class IndexReader:
                 hits.append((d, best))
         hits.sort(key=lambda x: (x[1], x[0]))
         return hits[:top_k]
+
+    # -- result hydration ----------------------------------------------------
+
+    def hydrate(
+        self,
+        doc_ids: list[int],
+        query: str | None = None,
+        snippet_window: int | None = None,
+    ) -> dict[int, dict]:
+        """doc_id -> {"url", "content" [, "snippet", "snippet_hits"]}.
+
+        The reference's search API returns each hit's full ``content``
+        (``/root/reference/src/neural_search/api/search.py:112-128``); the
+        replica reproduces that by joining results back through the docmap
+        (doc_id -> url, shard-pruned reads) and the corpus parquet
+        (url -> text, pushdown-filtered) — the index itself stays
+        text-free. With ``query`` + ``snippet_window``, each doc also gets
+        the best-window snippet, same semantics as the cluster operator
+        ``functions/snippets.py:best_snippets`` (candidate starts at
+        matched-term positions, hits = distinct query terms in window,
+        earliest-start ties).
+        """
+        if self.corpus_path is None:
+            raise ValueError("no corpus_path configured; pass corpus_path= "
+                             "or serve --corpus to enable hydration")
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        span = self.docs_per_shard
+        urls: dict[int, str] = {}
+        for s in sorted({d // span for d in doc_ids}):
+            t = pq.read_table(
+                os.path.join(self.root, "docmap", f"shard={s}"),
+                columns=["doc_id", "url"],
+            )
+            m = dict(
+                zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
+            )
+            for d in doc_ids:
+                if d in m:
+                    urls[d] = m[d]
+        if not urls:
+            return {}
+        tbl = pq.read_table(
+            self.corpus_path,
+            columns=["url", "text"],
+            filters=pc.field("url").isin(sorted(set(urls.values()))),
+        )
+        text_by_url = dict(
+            zip(tbl.column("url").to_pylist(), tbl.column("text").to_pylist())
+        )
+        qterms = sorted(set(tokenize_py(query))) if query else []
+        out: dict[int, dict] = {}
+        for d in doc_ids:
+            u = urls.get(d)
+            if u is None or u not in text_by_url:
+                continue
+            text = text_by_url[u]
+            rec: dict = {"url": u, "content": text}
+            if qterms and snippet_window:
+                from ..functions.snippets import _best_window
+
+                toks = _TOKEN_RE.findall(text.lower()) if text else []
+                bw = _best_window(toks, qterms, snippet_window)
+                if bw is not None:
+                    start, hits = bw
+                    rec["snippet"] = " ".join(
+                        toks[start - 1 : start - 1 + snippet_window]
+                    )
+                    rec["snippet_hits"] = hits
+            out[d] = rec
+        return out
 
     # -- suggestion ---------------------------------------------------------
 

@@ -364,3 +364,72 @@ def test_reader_phrase_and_near_on_positional_index(spark, tmp_path_factory):
         flat_reader.query_phrase("alpha beta")
     with pytest.raises(ValueError, match="positions"):
         flat_reader.query_near("alpha beta", max_span=3)
+
+
+def test_reader_hydrate_content_and_snippet(spark, served):
+    """Hydration returns each hit's url + full content (the reference's
+    response shape) and a best-window snippet matching the cluster
+    snippet operator."""
+    from neural_search_spark.functions.snippets import best_snippets
+    from neural_search_spark.index.docmap import assign_doc_ids
+
+    index, base_reader = served
+    corpus_path = base_reader.root.rsplit("/idx", 1)[0] + "/corpus"
+    reader = IndexReader(base_reader.root, corpus_path=corpus_path)
+    text = "w0005 w0010"
+    hits = reader.query(text, top_k=5)
+    hd = reader.hydrate([d for d, _ in hits], query=text, snippet_window=8)
+    assert set(hd) == {d for d, _ in hits}
+
+    corpus = assign_doc_ids(spark.read.parquet(corpus_path))
+    rows = {
+        r["doc_id"]: (r["url"], r["text"])
+        for r in corpus.where(
+            F.col("doc_id").isin([d for d, _ in hits])
+        ).collect()
+    }
+    for d, rec in hd.items():
+        assert (rec["url"], rec["content"]) == rows[d]
+        assert "snippet" in rec and rec["snippet_hits"] >= 1
+
+    # snippet parity with the cluster operator
+    want = {
+        r["doc_id"]: (r["start"], r["n_hits"], r["snippet"])
+        for r in best_snippets(
+            corpus.where(F.col("doc_id").isin([d for d, _ in hits])),
+            ["w0005", "w0010"],
+            window=8,
+        ).collect()
+    }
+    for d, rec in hd.items():
+        _start, hits_n, snip = want[d]
+        assert rec["snippet"] == snip and rec["snippet_hits"] == hits_n
+
+    # no corpus configured -> clear error
+    with pytest.raises(ValueError, match="corpus"):
+        base_reader.hydrate([0])
+
+
+def test_cli_serve_hydrate(served):
+    """The serve loop's {"hydrate": true} request returns url + content +
+    snippet per hit."""
+    import json
+    import subprocess
+    import sys
+
+    _, base_reader = served
+    corpus_path = base_reader.root.rsplit("/idx", 1)[0] + "/corpus"
+    req = json.dumps(
+        {"query": "w0005 w0010", "top_k": 2, "hydrate": True, "snippet_window": 8}
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", base_reader.root, "--corpus", corpus_path],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    line = json.loads(proc.stdout.strip().splitlines()[0])
+    assert len(line["hits"]) == 2
+    for h in line["hits"]:
+        assert h["url"] and h["content"] and "snippet" in h
