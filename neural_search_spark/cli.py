@@ -186,14 +186,27 @@ def cmd_serve(args) -> int:
         from .query.ratelimit import SlidingWindowLimiter
 
         limiter = SlidingWindowLimiter(args.rate_limit, args.rate_window)
-    reader = IndexReader(args.index, cache=cache, corpus_path=args.corpus)
+    if getattr(args, "shards", None):
+        # scatter-gather replica over partial indexes (exact global scoring,
+        # query/serve_multi.py); flat queries only — clause/phrase/suggest
+        # surfaces answer with an explicit error
+        from .query.serve_multi import MultiReader
+
+        reader = MultiReader([args.index] + args.shards.split(","))
+    else:
+        reader = IndexReader(args.index, cache=cache, corpus_path=args.corpus)
     for line in sys.stdin:
         text = line.strip()
         if not text:
             continue
         if text == ":refresh":
             reader.refresh()
-            print(json.dumps({"refreshed": True, "snapshot": reader.snapshot}), flush=True)
+            print(
+                json.dumps(
+                    {"refreshed": True, "snapshot": getattr(reader, "snapshot", "")}
+                ),
+                flush=True,
+            )
             continue
         # a JSON object line is the structured request form (the api/search.py
         # request-body analog): {"query": str, "top_k"?: int, "offset"?: int,
@@ -220,6 +233,9 @@ def cmd_serve(args) -> int:
                 if "phrase" in req:
                     # exact-phrase retrieval from a positional index:
                     # {"phrase": str, "top_k"?: int} -> [(doc_id, phrase_tf)]
+                    if not hasattr(reader, "query_phrase"):
+                        print(json.dumps({"error": "phrase not supported on a multi-partition replica"}), flush=True)
+                        continue
                     try:
                         ph = reader.query_phrase(
                             req["phrase"], top_k=int(req.get("top_k", args.top_k))
@@ -242,6 +258,9 @@ def cmd_serve(args) -> int:
                 if "near" in req:
                     # unordered proximity from a positional index:
                     # {"near": str, "span": int, "top_k"?: int}
+                    if not hasattr(reader, "query_near"):
+                        print(json.dumps({"error": "near not supported on a multi-partition replica"}), flush=True)
+                        continue
                     try:
                         nh = reader.query_near(
                             req["near"], max_span=int(req["span"]),
@@ -261,6 +280,9 @@ def cmd_serve(args) -> int:
                         ),
                         flush=True,
                     )
+                    continue
+                if "suggest" in req and not hasattr(reader, "suggest"):
+                    print(json.dumps({"error": "suggest not supported on a multi-partition replica"}), flush=True)
                     continue
                 if "suggest" in req:
                     # fuzzy vocabulary suggestion ("did you mean"):
@@ -302,6 +324,12 @@ def cmd_serve(args) -> int:
             hydrate = False
             snippet_window = None
         t0 = time.perf_counter()
+        if use_bool and not hasattr(reader, "query_bool"):
+            print(json.dumps({"error": "bool not supported on a multi-partition replica"}), flush=True)
+            continue
+        if hydrate and not hasattr(reader, "hydrate"):
+            print(json.dumps({"error": "hydrate not supported on a multi-partition replica"}), flush=True)
+            continue
         if use_bool:
             # {"query": "+must -not should", "bool": true}: Lucene-style
             # clause syntax via IndexReader.query_bool
@@ -450,6 +478,12 @@ def main(argv: list[str] | None = None) -> int:
     # behavior, a positive value turns enforcement on per replica
     sv.add_argument("--rate-limit", type=int, default=0, help="max requests per window; 0 = off")
     sv.add_argument("--rate-window", type=float, default=60.0, help="window seconds")
+    sv.add_argument(
+        "--shards", default=None,
+        help="comma-separated additional partial-index dirs: serve scatter-"
+        "gather over --index + these with EXACT global-stats scoring "
+        "(rank-identical to a physical merge; flat queries only)",
+    )
     sv.add_argument(
         "--corpus", default=None,
         help="corpus parquet path (url, text); enables result hydration "

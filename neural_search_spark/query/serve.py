@@ -712,9 +712,16 @@ class IndexReader:
         excluded: np.ndarray | None = None,
         offset: int = 0,
         search_after: tuple[float, int] | None = None,
+        avgdl_override: float | None = None,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
-        avgdl = float(self.stats["avgdl"])
+        # override = scatter-gather mode (MultiReader): GLOBAL avgdl with
+        # local tf/doc_len, so partial-index scores equal merged-index scores
+        avgdl = (
+            float(avgdl_override)
+            if avgdl_override is not None
+            else float(self.stats["avgdl"])
+        )
         span = self.docs_per_shard
         postings = self._postings_for(sorted(qterms))
 

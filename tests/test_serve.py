@@ -433,3 +433,112 @@ def test_cli_serve_hydrate(served):
     assert len(line["hits"]) == 2
     for h in line["hits"]:
         assert h["url"] and h["content"] and "snippet" in h
+
+
+def test_multireader_scatter_gather_equals_merged_index(spark, tmp_path_factory):
+    """MultiReader over partial indexes == IndexReader over the physical
+    merge: same doc ids (merged id space), same scores (1e-9) — the global
+    stats exchange makes naive-scatter-gather's local-idf skew impossible."""
+    from neural_search_spark.index.merge import merge_indexes
+    from neural_search_spark.query.serve_multi import MultiReader
+
+    root = tmp_path_factory.mktemp("multi")
+    a_path, b_path = str(root / "ca"), str(root / "cb")
+    write_corpus_parquet(spark, a_path, n_docs=200)
+    # disjoint url space for b (merge requires disjoint corpora)
+    b_corpus = (
+        spark.read.parquet(a_path)
+        .limit(150)
+        .select(F.concat(F.lit("b-"), F.col("url")).alias("url"), "text")
+    )
+    b_dir = str(root / "cb_pq")
+    b_corpus.write.parquet(b_dir)
+
+    layout = IndexLayout(docs_per_shard=64, block_size=16)
+    a_idx_dir, b_idx_dir = str(root / "ia"), str(root / "ib")
+    build_index(spark.read.parquet(a_path), a_idx_dir, layout=layout, n_buckets=4)
+    build_index(spark.read.parquet(b_dir), b_idx_dir, layout=layout, n_buckets=4)
+
+    merged_dir = str(root / "merged")
+    merge_indexes(spark, a_idx_dir, b_idx_dir, merged_dir)
+    merged_reader = IndexReader(merged_dir)
+    multi = MultiReader([a_idx_dir, b_idx_dir])
+
+    assert multi.n_docs == 350
+    for text in ("w0005 w0010", "w0001", "w0000 w0002 w0007", "nosuchterm"):
+        for positive_only in (True, False):
+            want = merged_reader.query(text, top_k=15, positive_only=positive_only)
+            got = multi.query(text, top_k=15, positive_only=positive_only)
+            assert [d for d, _ in got] == [d for d, _ in want], (text, positive_only)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
+
+    # pagination slices the same global order
+    full = multi.query("w0005 w0010", top_k=30, positive_only=False)
+    p2 = multi.query("w0005 w0010", top_k=10, positive_only=False, offset=10)
+    assert p2 == full[10:20]
+
+
+def test_multireader_rejects_incompatible_partials(spark, tmp_path_factory):
+    from neural_search_spark.query.serve_multi import MultiReader
+
+    root = tmp_path_factory.mktemp("multibad")
+    c_path = str(root / "c")
+    write_corpus_parquet(spark, c_path, n_docs=60)
+    corpus = spark.read.parquet(c_path)
+    flat, stem = str(root / "flat"), str(root / "stem")
+    layout = IndexLayout(docs_per_shard=64, block_size=16)
+    build_index(corpus, flat, layout=layout, n_buckets=2)
+    build_index(corpus, stem, layout=layout, n_buckets=2, analyzer="stem")
+    with pytest.raises(ValueError, match="analyzer"):
+        MultiReader([flat, stem])
+
+
+def test_cli_serve_shards_scatter_gather(spark, tmp_path_factory):
+    """`serve --shards` answers with merged-index-identical results and
+    refuses the single-index-only request forms with explicit errors."""
+    import json
+    import subprocess
+    import sys
+
+    from neural_search_spark.index.merge import merge_indexes
+
+    root = tmp_path_factory.mktemp("multicli")
+    a_path = str(root / "ca")
+    write_corpus_parquet(spark, a_path, n_docs=120)
+    b_corpus = (
+        spark.read.parquet(a_path)
+        .limit(80)
+        .select(F.concat(F.lit("b-"), F.col("url")).alias("url"), "text")
+    )
+    b_dir = str(root / "cb_pq")
+    b_corpus.write.parquet(b_dir)
+    layout = IndexLayout(docs_per_shard=64, block_size=16)
+    ia, ib = str(root / "ia"), str(root / "ib")
+    build_index(spark.read.parquet(a_path), ia, layout=layout, n_buckets=2)
+    build_index(spark.read.parquet(b_dir), ib, layout=layout, n_buckets=2)
+    merged = str(root / "merged")
+    merge_indexes(spark, ia, ib, merged)
+    want = IndexReader(merged).query("w0005 w0010", top_k=5)
+
+    reqs = "\n".join(
+        [
+            '{"query": "w0005 w0010", "top_k": 5}',
+            '{"query": "+w0005", "bool": true}',
+            '{"suggest": "w005"}',
+        ]
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", ia, "--shards", ib],
+        input=reqs + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    got = [(h["doc_id"], h["score"]) for h in lines[0]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    assert "not supported" in lines[1]["error"]
+    assert "not supported" in lines[2]["error"]
