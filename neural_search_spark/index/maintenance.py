@@ -270,11 +270,12 @@ def _decode_kernel(docs_per_shard: int):
         for term, g in pdf.groupby("term", sort=False):
             g = g.sort_values("block_id")
             prev = base
-            for _, blk in g.iterrows():
-                deltas = decode_ints(bytes(blk["deltas"]), blk["n_docs"]).astype(np.int64)
+            for blk in g[["n_docs", "deltas", "tfs"]].itertuples(index=False):
+                n = int(blk.n_docs)
+                deltas = decode_ints(bytes(blk.deltas), n).astype(np.int64)
                 ids = np.cumsum(deltas) + prev
                 prev = int(ids[-1])
-                tfs = decode_ints(bytes(blk["tfs"]), blk["n_docs"]).astype(np.int64)
+                tfs = decode_ints(bytes(blk.tfs), n).astype(np.int64)
                 out_d.extend(ids.tolist())
                 out_t.extend([term] * len(ids))
                 out_f.extend(tfs.tolist())

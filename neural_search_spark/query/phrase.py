@@ -55,21 +55,30 @@ def doc_term_positions(
     src = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids: list[int] = []
             terms: list[str] = []
-            plists: list[list[int]] = []
+            plists: list = []
             dls: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = _TOKEN_RE.findall(text.lower()) if isinstance(text, str) else []
-                by_term: dict[str, list[int]] = {}
-                for i, tok in enumerate(toks):
-                    by_term.setdefault(tok, []).append(i + 1)
-                for term, positions in by_term.items():
-                    ids.append(doc_id)
-                    terms.append(term)
-                    plists.append(positions)
-                    dls.append(len(toks))
+                if not toks:
+                    continue
+                # C-speed grouping: factorize tokens, stable-sort by code;
+                # within-group position order stays ascending (stable sort
+                # preserves the original scan order)
+                codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+                order = np.argsort(codes, kind="stable")
+                positions = (order + 1).astype(np.int32)
+                bounds = np.flatnonzero(np.diff(codes[order])) + 1
+                per_term = np.split(positions, bounds)
+                n = len(toks)
+                ids.extend([doc_id] * len(uniques))
+                terms.extend(uniques)
+                plists.extend(per_term)
+                dls.extend([n] * len(uniques))
             yield pd.DataFrame(
                 {"doc_id": ids, "term": terms, "positions": plists, "doc_len": dls}
             )
@@ -293,16 +302,16 @@ def indexed_positions(index, terms: list[str]) -> DataFrame:
         for term, g in pdf.groupby("term", sort=False):
             g = g.sort_values("block_id")
             prev = base
-            for _, blk in g.iterrows():
-                n = int(blk["n_docs"])
-                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
+            for blk in g.itertuples(index=False):
+                n = int(blk.n_docs)
+                deltas = decode_ints(bytes(blk.deltas), n).astype(np.int64)
                 ids = np.cumsum(deltas) + prev
                 prev = int(ids[-1])
-                tfs = decode_ints(bytes(blk["tfs"]), n).astype(np.int64)
-                plists = decode_position_lists(bytes(blk["positions"]), tfs)
+                tfs = decode_ints(bytes(blk.tfs), n).astype(np.int64)
+                plists = decode_position_lists(bytes(blk.positions), tfs)
                 out_d.extend(ids.tolist())
                 out_t.extend([term] * n)
-                out_p.extend([p.astype(np.int32).tolist() for p in plists])
+                out_p.extend([p.astype(np.int32) for p in plists])
         return pd.DataFrame({"doc_id": out_d, "term": out_t, "positions": out_p})
 
     return pf.groupBy("shard", "bucket").applyInPandas(
