@@ -1708,6 +1708,75 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+# --- Wildcard queries (Lucene WildcardQuery: * and ?) -------------------------
+
+ENTRY_WILDCARDS: list[tuple[int, str, int]] = [
+    (0, "zq?", 8),    # one-char wildcard: the whole zq0..zq6 family
+    (1, "*dow", 6),   # leading-star suffix match -> window
+    (2, "k?y", 5),    # infix one-char -> key
+    (3, "v*r", 5),    # star in the middle -> vector
+    (4, "q?x*", 5),   # matches nothing -> empty group
+]
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-expansion BM25 top-k (``query/prefix.py:wildcard_topk``):
+    the pattern translates to one anchored regex fed verbatim to both
+    engines, each matched vocabulary term scores once with its own idf."""
+    from ..query.prefix import wildcard_topk
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    q = spark.createDataFrame(
+        ENTRY_WILDCARDS, "query_id int, pattern string, top_k int"
+    )
+    ranked = wildcard_topk(idx, q, positive_only=False, round_to=4)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _wildcard_sql() -> str:
+    from ..query.prefix import wildcard_regex
+
+    values = ", ".join(
+        f"({i}, '{wildcard_regex(p)}', {k})" for i, p, k in ENTRY_WILDCARDS
+    )
+    return f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+q(query_id, rx, top_k) AS (VALUES {values}),
+expanded AS (
+  SELECT q.query_id, q.top_k, f.term, f.idf
+  FROM q JOIN fidf f ON regexp_matches(f.term, q.rx)
+),
+contrib AS (
+  SELECT e.query_id, e.top_k, tf.doc_id,
+         e.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM expanded e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, round(sum(c), 4) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
+SQL_WILDCARD_TOPK = _wildcard_sql()
+
+
 # --- Boolean queries (+must -must_not should) --------------------------------
 
 # must on a rare term, exclusion of a rare term, two common musts + a
@@ -2271,6 +2340,7 @@ def base_queries() -> dict:
         "more_like_this": q_more_like_this,
         "term_suggest": q_term_suggest,
         "prefix_topk": q_prefix_topk,
+        "wildcard_topk": q_wildcard_topk,
         "bool_topk": q_bool_topk,
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
@@ -2313,6 +2383,7 @@ def base_oracles() -> dict:
         "more_like_this": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,
         "prefix_topk": SQL_PREFIX_TOPK,
+        "wildcard_topk": SQL_WILDCARD_TOPK,
         "bool_topk": SQL_BOOL_TOPK,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,

@@ -562,3 +562,37 @@ def test_boost_score_linearity(spark, mlt_index):
     for d, s in comb.items():
         want = 2.0 * za.get(d, 0.0) + 0.5 * qa.get(d, 0.0)
         assert s == pytest.approx(want, rel=1e-12), d
+
+
+# --- Wildcard queries ---------------------------------------------------------
+
+
+def test_wildcard_regex_translation():
+    from neural_search_spark.query.prefix import wildcard_regex
+
+    assert wildcard_regex("spar*") == "^spar.*$"
+    assert wildcard_regex("k?y") == "^k.y$"
+    assert wildcard_regex("a.b*") == r"^a\.b.*$"  # regex metachars escaped
+    assert wildcard_regex("*") == "^.*$"
+
+
+def test_wildcard_expands_and_scores(spark, mlt_index):
+    from neural_search_spark.query.prefix import expand_wildcard, prefix_topk, wildcard_topk
+
+    q = spark.createDataFrame(
+        [(0, "z*a", 10), (1, "?uark", 10), (2, "x?z", 10)],
+        "query_id int, pattern string, top_k int",
+    )
+    exp = {r["query_id"]: r["term"] for r in expand_wildcard(mlt_index.terms, q).collect()}
+    assert exp == {0: "zebra", 1: "quark"}  # 'x?z' expands to nothing
+
+    # a pure-prefix wildcard must equal the dedicated prefix path
+    wq = spark.createDataFrame(
+        [(0, "ze*", 10)], "query_id int, pattern string, top_k int"
+    )
+    pq = spark.createDataFrame(
+        [(0, "ze", 10)], "query_id int, prefix string, top_k int"
+    )
+    got = sorted(map(tuple, wildcard_topk(mlt_index, wq).collect()))
+    want = sorted(map(tuple, prefix_topk(mlt_index, pq).collect()))
+    assert got == want and len(got) > 0
