@@ -162,6 +162,46 @@ def cmd_batch_query(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index introspection without Spark (the ES ``_stats`` analog): global
+    stats, layout, analysis binding, shard count, and on-disk posting bytes
+    from the lineage metrics — one JSON line."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    srow = pq.read_table(os.path.join(args.index, "corpus_stats")).to_pylist()[0]
+    n_terms = pq.read_table(
+        os.path.join(args.index, "term_stats"), columns=["term"]
+    ).num_rows
+    out = {
+        "n_docs": int(srow["n_docs"]),
+        "avgdl": round(float(srow["avgdl"]), 4),
+        "vocabulary": n_terms,
+        "k1": srow["k1"],
+        "b": srow["b"],
+        "epsilon": srow["epsilon"],
+        "docs_per_shard": int(srow["docs_per_shard"]),
+        "block_size": int(srow["block_size"]),
+        "analyzer": srow.get("analyzer") or "",
+        "positional": bool(srow.get("positional", False)),
+    }
+    try:
+        m = pq.read_table(os.path.join(args.index, "_metrics")).to_pylist()
+        out["n_shards"] = len({r["shard"] for r in m})
+        out["n_blocks"] = int(sum(r["n_blocks"] for r in m))
+        out["postings_bytes"] = int(
+            sum(r["deltas_bytes"] + r["tfs_bytes"] for r in m)
+        )
+        out["positions_bytes"] = int(
+            sum(r.get("positions_bytes") or 0 for r in m)
+        )
+    except Exception:
+        pass
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serving loop: query lines on stdin -> one JSON result line each.
 
@@ -466,6 +506,10 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("--out", required=True)
     bq.add_argument("--match-all", action="store_true")
     bq.set_defaults(fn=cmd_batch_query)
+
+    stt = sub.add_parser("stats")
+    stt.add_argument("--index", required=True)
+    stt.set_defaults(fn=cmd_stats)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)

@@ -342,3 +342,21 @@ def test_cli_serve_search_after_cursor(idx_dir):
     lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
     got = [(h["doc_id"], h["score"]) for h in lines[0]["hits"]]
     assert got == want
+
+
+def test_cli_stats(idx_dir):
+    """`cli.py stats` reports index metadata + byte sizes without Spark."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "stats",
+         "--index", idx_dir],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip())
+    assert out["n_docs"] > 0 and out["vocabulary"] > 0
+    assert out["analyzer"] == "" and out["positional"] is False
+    assert out["postings_bytes"] > 0 and out["n_shards"] >= 1

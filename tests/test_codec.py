@@ -151,3 +151,103 @@ def test_patched_pfor_roundtrip_property(small, outliers):
 
     arr = np.array(small + outliers, dtype=np.uint64)
     assert (decode_ints(encode_ints(arr), len(arr)) == arr).all()
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=500_000), min_size=1, max_size=40
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_position_lists_roundtrip_property(raw_lists):
+    """Position streams roundtrip for arbitrary per-doc position lists
+    (sorted+deduped to the strictly-increasing invariant the tokenizer
+    guarantees)."""
+    from neural_search_spark.index.codec import (
+        decode_position_lists,
+        encode_position_lists,
+    )
+
+    pos_lists = [np.unique(np.asarray(xs, dtype=np.int64)) for xs in raw_lists]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    got = decode_position_lists(encode_position_lists(pos_lists), tfs)
+    assert len(got) == len(pos_lists)
+    for a, b in zip(got, pos_lists):
+        assert np.array_equal(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),  # doc id offsets
+            st.integers(min_value=1, max_value=50),       # tf
+            st.integers(min_value=1, max_value=400),      # doc_len
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_positional_block_roundtrip_property(rows, block_size):
+    from neural_search_spark.index.codec import (
+        decode_posting_blocks_with_positions,
+        encode_posting_blocks,
+    )
+
+    base = 1_000_000
+    rows = sorted(rows)
+    ids = np.array([base + r[0] for r in rows], dtype=np.int64)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([max(r[1], r[2]) for r in rows], dtype=np.int64)
+    rng = np.random.default_rng(0)
+    pos = [
+        np.sort(rng.choice(np.arange(1, 10_000), size=t, replace=False))
+        for t in tfs
+    ]
+    blocks = encode_posting_blocks(
+        ids, tfs, dls, shard_base=base, block_size=block_size, pos_lists=pos
+    )
+    gi, gt, gp = decode_posting_blocks_with_positions(blocks, base)
+    assert np.array_equal(gi, ids) and np.array_equal(gt, tfs)
+    for a, b in zip(gp, pos):
+        assert np.array_equal(a, b)
+
+
+@given(st.text(alphabet="abcdefgisuvy", min_size=0, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_s_stem_idempotent_property(word):
+    """Stemming is a projection: stem(stem(w)) == stem(w) for any word —
+    required because query-side folding may see already-folded terms (e.g.
+    a stemmed index queried through the stemmed suggest path)."""
+    from neural_search_spark.functions.stem import s_stem_py
+
+    once = s_stem_py(word)
+    assert s_stem_py(once) == once
+
+
+@given(
+    st.text(alphabet="abcdxyz*?.[]()", min_size=0, max_size=10),
+    st.text(alphabet="abcdxyz.", min_size=0, max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_wildcard_regex_matches_fnmatch(pattern, candidate):
+    """The wildcard->regex translation agrees with Python's fnmatch on the
+    * and ? semantics for any pattern/candidate pair (fnmatchcase has no
+    other special chars in these alphabets except [] — excluded there)."""
+    import fnmatch
+    import re
+
+    from neural_search_spark.query.prefix import wildcard_regex
+
+    if "[" in pattern or "]" in pattern:
+        # fnmatch treats [] as char classes; our wildcard language does not
+        return
+    want = fnmatch.fnmatchcase(candidate, pattern)
+    got = re.fullmatch(wildcard_regex(pattern)[1:-1], candidate) is not None
+    assert got == want, (pattern, candidate)
