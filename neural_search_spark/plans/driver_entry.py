@@ -1708,6 +1708,94 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+# --- Ordered proximity (SpanNear inOrder=true) --------------------------------
+# Queries 0/1 are the same terms reversed: their result sets differ on any
+# doc containing the pair in only one order — pinning order sensitivity.
+
+ENTRY_ORDERED_NEAR: list[tuple[int, str, int, int]] = [
+    (0, "key join", 5, 6),
+    (1, "join key", 5, 6),
+    (2, "zq0 join", 5, 80),
+    (3, "slow key join", 5, 12),
+    (4, "customer", 5, 1),
+]
+
+
+def q_ordered_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity top-k (``query/phrase.py:ordered_near_topk``):
+    smallest in-order span via the linear chain-DP codegen fold; the oracle
+    is the independent brute-force chain join, so the gate checks the
+    algorithm, not an echo of it."""
+    from ..query.phrase import doc_term_positions, ordered_near_topk
+
+    pos = doc_term_positions(_aug_docs(spark, sf_dir), id_col="doc_id")
+    return ordered_near_topk(pos, spark, ENTRY_ORDERED_NEAR)
+
+
+def q_ordered_near_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity served from the positional physical index — same
+    SQL oracle as the corpus-scan entry."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.phrase import ordered_near_topk_indexed
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_onearidx_")
+    index = build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+        store_positions=True,
+    )
+    return ordered_near_topk_indexed(index, spark, ENTRY_ORDERED_NEAR)
+
+
+def _ordered_chain_sql(qid: int, text: str, k: int, span: int) -> str:
+    toks = tokenize_py(text)
+    last = len(toks) - 1
+    joins = [
+        f"JOIN toks p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos > p{i - 1}.pos AND p{i}.term = '{t}'"
+        for i, t in enumerate(toks[1:], 1)
+    ]
+    return (
+        f"SELECT {qid} AS query_id, {k} AS top_k, p0.doc_id,"
+        f" min(p{last}.pos - p0.pos + 1) AS min_window"
+        f" FROM toks p0 {' '.join(joins)}"
+        f" WHERE p0.term = '{toks[0]}' GROUP BY p0.doc_id"
+        f" HAVING min(p{last}.pos - p0.pos + 1) <= {span}"
+    )
+
+
+SQL_ORDERED_NEAR = (
+    "WITH "
+    + _AUG_CTE
+    + r""",
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '\w+')))) AS pos
+  FROM docs_aug
+),
+spans AS (
+"""
+    + "\nUNION ALL\n".join(_ordered_chain_sql(*q) for q in ENTRY_ORDERED_NEAR)
+    + """
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, min_window,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY min_window ASC, doc_id ASC
+         ) AS rank
+  FROM spans
+)
+SELECT query_id, rank, doc_id, min_window FROM ranked WHERE rank <= top_k
+"""
+)
+
+
 # --- Wildcard queries (Lucene WildcardQuery: * and ?) -------------------------
 
 ENTRY_WILDCARDS: list[tuple[int, str, int]] = [
@@ -2350,6 +2438,8 @@ def base_queries() -> dict:
         "bm25_topk_stem_wand": q_bm25_topk_stem_wand,
         "phrase_topk_indexed": q_phrase_topk_indexed,
         "proximity_topk_indexed": q_proximity_topk_indexed,
+        "ordered_near_topk": q_ordered_near_topk,
+        "ordered_near_topk_indexed": q_ordered_near_topk_indexed,
     }
 
 
@@ -2396,4 +2486,6 @@ def base_oracles() -> dict:
         # with the corpus-scan phrase plan
         "proximity_topk_indexed": SQL_PROXIMITY_TOPK,  # NEAR from the index
         # must agree with the corpus-scan brute-force oracle
+        "ordered_near_topk": SQL_ORDERED_NEAR,
+        "ordered_near_topk_indexed": SQL_ORDERED_NEAR,
     }

@@ -359,3 +359,123 @@ def proximity_topk_indexed(
     )
     pos = indexed_positions(index, all_terms)
     return proximity_topk(pos, spark, queries)
+
+
+# --- Ordered proximity (phrase-with-slop / ordered SpanNear) ------------------
+
+
+def ordered_near_match(
+    positions: DataFrame, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """Ordered proximity: the query terms must appear IN ORDER within a
+    token window (Lucene ``SpanNearQuery(inOrder=true)`` / the sloppy-phrase
+    family). ``queries`` is ``[(query_id, text, top_k, max_span)]``; a doc
+    matches iff positions p_1 < p_2 < ... < p_n exist for the query's terms
+    in sequence with ``p_n - p_1 + 1 <= max_span``; ``min_window`` is the
+    smallest such span. ``max_span = n`` degenerates to the exact phrase.
+
+    Linear chain DP as a codegen fold (same shape as ``proximity_match``'s
+    min-cover): walk occurrences in position order keeping, for each query
+    slot k, the best (latest) start of a chain covering slots 0..k whose
+    k-th element ends at/before the current position; an occurrence of the
+    LAST slot closes a chain and ``pos - chain_start + 1`` is a candidate.
+    Repeated terms occupy multiple slots independently (aab is matchable).
+    """
+    rows = []
+    for qid, text, k, span in queries:
+        toks = tokenize_py(text)
+        for slot, term in enumerate(toks):
+            rows.append((qid, term, slot, len(toks), k, span))
+    qterms = spark.createDataFrame(
+        rows,
+        "query_id int, term string, slot int, n_terms int, top_k int, max_span int",
+    )
+    all_terms = sorted({r[1] for r in rows})
+
+    occ = (
+        positions.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            "top_k",
+            "max_span",
+            F.explode("positions").alias("pos"),
+            "slot",
+        )
+    )
+    grouped = occ.groupBy("query_id", "doc_id").agg(
+        F.first("n_terms").alias("n_terms"),
+        F.first("top_k").alias("top_k"),
+        F.first("max_span").alias("max_span"),
+        # (pos asc, slot desc): at one position, later slots must fold first
+        # so a slot can't chain to a same-position earlier slot (strict <)
+        F.sort_array(
+            F.collect_list(F.struct("pos", (-F.col("slot")).alias("nslot")))
+        ).alias("occ"),
+    )
+    init = F.struct(
+        F.array_repeat(F.lit(-1), F.col("n_terms")).alias("starts"),
+        F.lit(2147483647).alias("best"),
+    )
+
+    def step(acc, x):
+        slot = -x["nslot"]
+        prev_start = F.when(
+            slot == 0, x["pos"]
+        ).otherwise(F.element_at(acc["starts"], slot))  # 1-based: slot-1 idx
+        new_starts = F.transform(
+            acc["starts"],
+            lambda v, i: F.when(
+                (i == slot) & (prev_start >= 0), F.greatest(v, prev_start)
+            ).otherwise(v),
+        )
+        closes = (slot == F.size(acc["starts"]) - 1) & (prev_start >= 0)
+        cand = x["pos"] - prev_start + F.lit(1)
+        new_best = F.when(closes, F.least(acc["best"], cand)).otherwise(acc["best"])
+        return F.struct(new_starts.alias("starts"), new_best.alias("best"))
+
+    folded = grouped.withColumn(
+        "min_window", F.aggregate("occ", init, step)["best"]
+    )
+    return folded.where(F.col("min_window") <= F.col("max_span")).select(
+        "query_id", "doc_id", "min_window", "top_k"
+    )
+
+
+def ordered_near_topk(
+    positions: DataFrame, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """Per-query ordered-proximity top-k by (min_window ASC, doc_id ASC)."""
+    m = ordered_near_match(positions, spark, queries)
+    w = Window.partitionBy("query_id").orderBy(F.asc("min_window"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("min_window").cast("long").alias("min_window"),
+        )
+    )
+
+
+def ordered_near_topk_indexed(
+    index, spark, queries: list[tuple[int, str, int, int]]
+) -> DataFrame:
+    """Ordered proximity served from the positional physical index."""
+    from ..functions.analyzers import analyze_tokens
+
+    ana = getattr(index, "analyzer", "")
+    if ana:
+        queries = [
+            (qid, " ".join(analyze_tokens(tokenize_py(text), ana)), k, span)
+            for qid, text, k, span in queries
+        ]
+    all_terms = sorted(
+        {t for _qid, text, _k, _s in queries for t in tokenize_py(text)}
+    )
+    pos = indexed_positions(index, all_terms)
+    return ordered_near_topk(pos, spark, queries)

@@ -311,3 +311,73 @@ def test_significant_terms_broadcasts_hits_not_postings(spark):
     results = spark.createDataFrame([(0, 0)], "query_id int, doc_id long")
     plan = _plan(significant_terms(results, doc_terms, n_docs=1))
     assert "BroadcastHashJoin" in plan
+
+
+# --- Ordered proximity (SpanNear inOrder=true) --------------------------------
+
+
+def test_ordered_near_is_order_sensitive(spark):
+    from neural_search_spark.query.phrase import doc_term_positions, ordered_near_topk
+
+    rows = [
+        (0, "alpha x beta"),        # alpha..beta span 3, ordered
+        (1, "beta x alpha"),        # reversed only
+        (2, "alpha beta"),          # adjacent, span 2
+        (3, "x y z"),               # neither
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = doc_term_positions(corpus)
+    fwd = {
+        r["doc_id"]: r["min_window"]
+        for r in ordered_near_topk(pos, spark, [(0, "alpha beta", 10, 10)]).collect()
+    }
+    rev = {
+        r["doc_id"]: r["min_window"]
+        for r in ordered_near_topk(pos, spark, [(0, "beta alpha", 10, 10)]).collect()
+    }
+    assert fwd == {0: 3, 2: 2}, "forward matches only the in-order docs"
+    assert rev == {1: 3}, "reversed query matches only the reversed doc"
+
+
+def test_ordered_near_repeated_terms_and_span_cut(spark):
+    from neural_search_spark.query.phrase import doc_term_positions, ordered_near_topk
+
+    rows = [
+        (0, "a a b"),       # a a b chain: window 3
+        (1, "a b"),         # only one 'a': cannot satisfy two a-slots
+        (2, "a q q q a b"), # window 6 chain a..a..b
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = doc_term_positions(corpus)
+    got = {
+        r["doc_id"]: r["min_window"]
+        for r in ordered_near_topk(pos, spark, [(0, "a a b", 10, 10)]).collect()
+    }
+    assert got == {0: 3, 2: 6}, "repeated slots need distinct ordered positions"
+    # span cut drops the loose chain
+    tight = {
+        r["doc_id"]: r["min_window"]
+        for r in ordered_near_topk(pos, spark, [(0, "a a b", 10, 3)]).collect()
+    }
+    assert tight == {0: 3}
+
+
+def test_ordered_near_exact_phrase_degenerate(spark):
+    """max_span == n reduces ordered-near to 'the phrase exists' (adjacent
+    in-order run), agreeing with phrase_match on matched docs."""
+    from neural_search_spark.query.phrase import (
+        doc_term_positions,
+        ordered_near_topk,
+        phrase_topk,
+    )
+
+    rows = [
+        (0, "big data wins"),
+        (1, "big x data"),
+        (2, "data big"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = doc_term_positions(corpus)
+    near = {r["doc_id"] for r in ordered_near_topk(pos, spark, [(0, "big data", 10, 2)]).collect()}
+    phr = {r["doc_id"] for r in phrase_topk(pos, spark, [(0, "big data", 10)]).collect()}
+    assert near == phr == {0}
