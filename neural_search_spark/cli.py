@@ -296,8 +296,10 @@ def cmd_serve(args) -> int:
                     )
                     continue
                 if "near" in req:
-                    # unordered proximity from a positional index:
-                    # {"near": str, "span": int, "top_k"?: int}
+                    # proximity from a positional index:
+                    # {"near": str, "span": int, "top_k"?: int,
+                    #  "ordered"?: bool} — ordered=true requires the terms
+                    # in query order (SpanNear inOrder)
                     if not hasattr(reader, "query_near"):
                         print(json.dumps({"error": "near not supported on a multi-partition replica"}), flush=True)
                         continue
@@ -305,6 +307,7 @@ def cmd_serve(args) -> int:
                         nh = reader.query_near(
                             req["near"], max_span=int(req["span"]),
                             top_k=int(req.get("top_k", args.top_k)),
+                            ordered=bool(req.get("ordered")),
                         )
                     except ValueError as e:
                         print(json.dumps({"error": str(e)}), flush=True)

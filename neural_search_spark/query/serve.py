@@ -309,13 +309,15 @@ class IndexReader:
         return hits[:top_k]
 
     def query_near(
-        self, text: str, max_span: int, top_k: int = 10
+        self, text: str, max_span: int, top_k: int = 10, ordered: bool = False
     ) -> list[tuple[int, int]]:
-        """[(doc_id, min_window)] — unordered proximity (NEAR) from the
-        positional index: smallest token window containing every distinct
-        query term, kept iff <= ``max_span``; (min_window asc, doc_id asc).
-        Identical semantics to ``query/phrase.py:proximity_topk`` (the
-        linear min-cover scan), parity pinned in tests/test_serve.py."""
+        """[(doc_id, min_window)] — proximity (NEAR) from the positional
+        index: smallest token window containing every distinct query term
+        (``ordered=False``, the unordered min-cover of
+        ``query/phrase.py:proximity_topk``) or the query terms IN ORDER
+        (``ordered=True``, the chain DP of ``ordered_near_topk``); kept iff
+        <= ``max_span``; (min_window asc, doc_id asc). Parity with the
+        cluster operators pinned in tests/test_serve.py."""
         if not bool(self.stats.get("positional")):
             raise ValueError(
                 "index stores no positions; rebuild with store_positions=True"
@@ -337,25 +339,51 @@ class IndexReader:
                     m[d] = p
             by_term[t] = m
         cand = set.intersection(*(set(by_term[t]) for t in terms))
-        n = len(terms)
         hits: list[tuple[int, int]] = []
-        for d in cand:
-            occ = sorted(
-                (int(p), tid)
-                for tid, t in enumerate(terms)
-                for p in by_term[t][d]
-            )
-            last = [-1] * n
-            best = None
-            for p, tid in occ:
-                last[tid] = p
-                mn = min(last)
-                if mn >= 0:
-                    w = p - mn + 1
-                    if best is None or w < best:
-                        best = w
-            if best is not None and best <= max_span:
-                hits.append((d, best))
+        if ordered:
+            # slots follow the QUERY token order (repeats = separate slots)
+            slots = toks
+            n = len(slots)
+            for d in cand:
+                occ = sorted(
+                    (int(p), -slot)
+                    for slot, t in enumerate(slots)
+                    for p in by_term[t][d]
+                )
+                starts = [-1] * n
+                best = None
+                for p, nslot in occ:
+                    slot = -nslot
+                    prev = p if slot == 0 else starts[slot - 1]
+                    if prev < 0:
+                        continue
+                    if starts[slot] < prev:
+                        starts[slot] = prev
+                    if slot == n - 1:
+                        w = p - prev + 1
+                        if best is None or w < best:
+                            best = w
+                if best is not None and best <= max_span:
+                    hits.append((d, best))
+        else:
+            n = len(terms)
+            for d in cand:
+                occ = sorted(
+                    (int(p), tid)
+                    for tid, t in enumerate(terms)
+                    for p in by_term[t][d]
+                )
+                last = [-1] * n
+                best = None
+                for p, tid in occ:
+                    last[tid] = p
+                    mn = min(last)
+                    if mn >= 0:
+                        w = p - mn + 1
+                        if best is None or w < best:
+                            best = w
+                if best is not None and best <= max_span:
+                    hits.append((d, best))
         hits.sort(key=lambda x: (x[1], x[0]))
         return hits[:top_k]
 

@@ -542,3 +542,41 @@ def test_cli_serve_shards_scatter_gather(spark, tmp_path_factory):
         assert gs == pytest.approx(ws, abs=1e-9)
     assert "not supported" in lines[1]["error"]
     assert "not supported" in lines[2]["error"]
+
+
+def test_reader_query_near_ordered_parity(spark, tmp_path_factory):
+    """Replica ordered NEAR == the cluster ordered_near operator."""
+    from neural_search_spark.query.phrase import ordered_near_topk_indexed
+
+    root = tmp_path_factory.mktemp("onear")
+    rows = [
+        (0, "alpha x beta y alpha"),
+        (1, "beta x alpha"),
+        (2, "alpha beta"),
+        (3, "gamma delta"),
+    ]
+    corpus = spark.createDataFrame(
+        [(d, f"u{d}", t) for d, t in rows], "doc_id long, url string, text string"
+    )
+    out = str(root / "idx")
+    idx = build_index(
+        corpus, out, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=2, block_size=2), n_buckets=2,
+        store_positions=True,
+    )
+    reader = IndexReader(out)
+    for text, span in (("alpha beta", 5), ("beta alpha", 5), ("alpha alpha", 10)):
+        got = reader.query_near(text, max_span=span, top_k=10, ordered=True)
+        want = sorted(
+            (
+                (r["doc_id"], r["min_window"])
+                for r in ordered_near_topk_indexed(
+                    idx, spark, [(0, text, 10, span)]
+                ).collect()
+            ),
+            key=lambda x: (x[1], x[0]),
+        )
+        assert got == want, text
+    # ordered vs unordered differ on the reversed-only doc
+    assert {d for d, _ in reader.query_near("alpha beta", 5, ordered=True)} == {0, 2}
+    assert {d for d, _ in reader.query_near("alpha beta", 5, ordered=False)} == {0, 1, 2}
