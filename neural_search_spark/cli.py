@@ -324,6 +324,22 @@ def cmd_serve(args) -> int:
                         flush=True,
                     )
                     continue
+                if "termvectors" in req:
+                    # {"termvectors": doc_id, "positions"?: bool} — the ES
+                    # _termvectors analog, recovered from the lossless index
+                    if not hasattr(reader, "term_vector"):
+                        print(json.dumps({"error": "termvectors not supported on a multi-partition replica"}), flush=True)
+                        continue
+                    try:
+                        tv = reader.term_vector(
+                            int(req["termvectors"]),
+                            positions=bool(req.get("positions")),
+                        )
+                    except ValueError as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
+                    print(json.dumps(tv), flush=True)
+                    continue
                 if "suggest" in req and not hasattr(reader, "suggest"):
                     print(json.dumps({"error": "suggest not supported on a multi-partition replica"}), flush=True)
                     continue

@@ -387,6 +387,59 @@ class IndexReader:
         hits.sort(key=lambda x: (x[1], x[0]))
         return hits[:top_k]
 
+    def term_vector(self, doc_id: int, positions: bool = False) -> dict:
+        """The ES ``_termvectors`` analog: a document's terms with tf (and,
+        on a positional index, 1-based positions) recovered from the index
+        alone — the posting blocks are lossless, so no document store is
+        needed. Reads exactly one shard's posting files (the doc's shard
+        directory) and decodes only blocks whose [first_doc_id,
+        last_doc_id] range covers the doc.
+
+        Returns {"doc_id", "doc_len", "terms": {term: tf | [positions]}};
+        unknown doc_ids return an empty terms dict.
+        """
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..index.codec import decode_ints, decode_position_lists
+
+        if positions and not bool(self.stats.get("positional")):
+            raise ValueError(
+                "index stores no positions; rebuild with store_positions=True"
+            )
+        span = self.docs_per_shard
+        shard = int(doc_id) // span
+        shard_dir = os.path.join(self.root, "postings", f"shard={shard}")
+        if not os.path.isdir(shard_dir):
+            return {"doc_id": int(doc_id), "doc_len": 0, "terms": {}}
+        cols = ["term", "block_id", "first_doc_id", "last_doc_id", "n_docs",
+                "deltas", "tfs"] + (["positions"] if positions else [])
+        table = pq.read_table(
+            shard_dir,
+            columns=cols,
+            filters=(pc.field("first_doc_id") <= doc_id)
+            & (pc.field("last_doc_id") >= doc_id),
+        )
+        terms: dict = {}
+        for blk in table.to_pylist():
+            n = int(blk["n_docs"])
+            # block deltas are relative to the PREVIOUS block's last id; for
+            # a direct block probe, reconstruct from first_doc_id instead
+            deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
+            ids = np.cumsum(deltas) - int(deltas[0]) + int(blk["first_doc_id"])
+            hit = np.flatnonzero(ids == int(doc_id))
+            if hit.size == 0:
+                continue
+            tfs = decode_ints(bytes(blk["tfs"]), n).astype(np.int64)
+            i = int(hit[0])
+            if positions:
+                plists = decode_position_lists(bytes(blk["positions"]), tfs)
+                terms[blk["term"]] = [int(p) for p in plists[i]]
+            else:
+                terms[blk["term"]] = int(tfs[i])
+        dl = self._shard_state(shard).doc_len[int(doc_id) - shard * span]
+        return {"doc_id": int(doc_id), "doc_len": int(dl), "terms": terms}
+
     # -- result hydration ----------------------------------------------------
 
     def hydrate(

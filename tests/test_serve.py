@@ -580,3 +580,49 @@ def test_reader_query_near_ordered_parity(spark, tmp_path_factory):
     # ordered vs unordered differ on the reversed-only doc
     assert {d for d, _ in reader.query_near("alpha beta", 5, ordered=True)} == {0, 2}
     assert {d for d, _ in reader.query_near("alpha beta", 5, ordered=False)} == {0, 1, 2}
+
+
+def test_reader_term_vector_roundtrips_document(spark, served):
+    """term_vector recovers exactly the tokenizer's term->tf map for a doc
+    (the index is lossless), reading only that doc's shard."""
+    from neural_search_spark.functions.tokenize import tokenize_py
+
+    index, reader = served
+    corpus_path = reader.root.rsplit("/idx", 1)[0] + "/corpus"
+    corpus = spark.read.parquet(corpus_path).orderBy("url").collect()
+    for doc_id in (0, 57, 399):
+        text = corpus[doc_id]["text"]
+        toks = tokenize_py(text)
+        want: dict[str, int] = {}
+        for t in toks:
+            want[t] = want.get(t, 0) + 1
+        tv = reader.term_vector(doc_id)
+        assert tv["doc_len"] == len(toks)
+        assert tv["terms"] == want, doc_id
+    # unknown doc -> empty
+    assert reader.term_vector(10_000_000)["terms"] == {}
+
+
+def test_reader_term_vector_positions(spark, tmp_path_factory):
+    from neural_search_spark.functions.tokenize import tokenize_py
+
+    root = tmp_path_factory.mktemp("tv")
+    rows = [(0, "u0", "a b a c b a"), (1, "u1", "x y")]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = str(root / "idx")
+    build_index(
+        corpus, out, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=2, block_size=2), n_buckets=2,
+        store_positions=True,
+    )
+    reader = IndexReader(out)
+    tv = reader.term_vector(0, positions=True)
+    assert tv["terms"] == {"a": [1, 3, 6], "b": [2, 5], "c": [4]}
+    # flat index refuses the positions form
+    flat = str(root / "flat")
+    build_index(
+        corpus, flat, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=2, block_size=2), n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="positions"):
+        IndexReader(flat).term_vector(0, positions=True)
