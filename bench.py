@@ -114,6 +114,21 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         timings["wand_topk"] = time.time() - t0
         assert n > 0
 
+        # serving-replica warm latency on the same index (no Spark in the
+        # loop): the reference's latency class, measured per round
+        try:
+            from neural_search_spark.query.serve import IndexReader
+
+            reader = IndexReader(out_dir)
+            reader.query("join hash", top_k=10, positive_only=False)  # warm
+            t0 = time.time()
+            reps = 20
+            for _ in range(reps):
+                reader.query("join hash", top_k=10, positive_only=False)
+            extras["serve_warm_ms"] = (time.time() - t0) / reps * 1000
+        except Exception:
+            pass
+
         t0 = time.time()
         n = q_bm25_topk_all(spark, sf_dir).count()
         timings["df_batch_topk"] = time.time() - t0
@@ -258,6 +273,7 @@ def main() -> None:
         "index_build_aug_sec": round(extras.get("index_build_aug_sec", 0.0), 3),
         "postings_bytes": int(extras.get("postings_bytes", 0)),
         "positional_postings_bytes": int(extras.get("positional_postings_bytes", 0)),
+        "serve_warm_ms": round(extras.get("serve_warm_ms", 0.0), 3),
         "total_all_ops": round(sum(queries.values()), 3),
     }
 
