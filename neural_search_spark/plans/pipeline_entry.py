@@ -1302,6 +1302,244 @@ FROM events GROUP BY 1, 2
 # --- registries --------------------------------------------------------------
 
 
+# --- Composed cleaning pipeline (the end-to-end training-data path) ----------
+# One entry running the REAL cleanup chain a web-scale pipeline applies in
+# sequence — boilerplate strip -> within-doc line dedup -> PII scrub ->
+# language/quality gate -> exact dedup — over a dirty corpus view both
+# engines derive identically: planted boilerplate (mod 5/7/11), self-dup
+# lines (mod 3/4), inline PII (mod 6/9/13), plus exact clones at
+# doc_id + 180180 (an lcm of every planted modulus, so clones clean to
+# byte-identical text and the final dedup provably drops them).
+
+_PC_CLONE_OFF = 180180  # lcm(3,4,5,6,7,9,11,13) -> residues preserved
+_PC_CLONE_MOD = 50
+_PC_QUALITY_MIN = 0.5
+
+
+def _docs_dirty(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.where(F.col("doc_id") % _PC_CLONE_MOD == 0).select(
+        (F.col("doc_id") + _PC_CLONE_OFF).alias("doc_id"), "text"
+    )
+    base = d.unionByName(clones)
+    text = F.col("text")
+    for mod, line in _BP_LINES:
+        text = F.concat(
+            text,
+            F.when(F.col("doc_id") % mod == 0, F.lit("\n" + line)).otherwise(
+                F.lit("")
+            ),
+        )
+    text = F.concat(
+        text,
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.col("text"))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\nrepeated line alpha\nrepeated line alpha"),
+        ).otherwise(F.lit("")),
+    )
+    did = F.col("doc_id")
+    text = F.concat(
+        text,
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" call 555-01"), F.lpad((did % 100).cast("string"), 2, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return base.select("doc_id", text.alias("text"))
+
+
+def q_pipeline_clean(spark, sf_dir):
+    """The composed cleaning chain, each stage feeding the next's text:
+    every stage is the SAME operator its standalone entry gates, so this
+    entry checks the composition (ordering, text reconstruction, filter
+    interplay), not new logic."""
+    dirty = _docs_dirty(spark, sf_dir)
+    s1 = TA.strip_boilerplate_lines(dirty, min_docs=_BP_MIN_DOCS).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    s2 = TA.dedup_lines_within_doc(s1).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    s3 = PII.scrub_pii(s2).select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+    )
+    s3 = s3.persist()
+    q = TA.quality_score(s3).select("doc_id", F.round("quality", 6).alias("quality"))
+    lang = TA.lang_id(s3).select("doc_id", "pred_lang")
+    gated = (
+        s3.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .where((F.col("pred_lang") == "en") & (F.col("quality") >= _PC_QUALITY_MIN))
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "pred_lang",
+            "quality",
+            F.col("n_pii").cast("long").alias("n_pii"),
+            F.col("text").alias("clean_text"),
+        )
+    )
+
+
+def _pipeline_clean_sql() -> str:
+    from ..functions.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    e, i, p = (r.replace("'", "''") for r in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    bp_cases = " || ".join(
+        f"CASE WHEN doc_id % {mod} = 0 THEN chr(10) || '{line}' ELSE '' END"
+        for mod, line in _BP_LINES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PC_CLONE_OFF} AS doc_id, text
+  FROM documents WHERE doc_id % {_PC_CLONE_MOD} = 0
+),
+dirty AS (
+  SELECT doc_id,
+         text || {bp_cases}
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'repeated line alpha'
+                   || chr(10) || 'repeated line alpha' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                      || (doc_id % 100)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                 ELSE '' END AS text
+  FROM base
+),
+-- stage 1: boilerplate line removal (trimmed lines, empties dropped)
+l1 AS (
+  SELECT doc_id,
+         unnest([{{'idx': i, 'line': trim(parts[i])}}
+                 for i in generate_series(1, len(parts))], recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM dirty)
+),
+nz1 AS (SELECT * FROM l1 WHERE line != ''),
+boiler AS (
+  SELECT line FROM nz1 GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+),
+s1 AS (
+  SELECT nz1.doc_id,
+         coalesce(string_agg(CASE WHEN b.line IS NULL THEN nz1.line END,
+                             chr(10) ORDER BY nz1.idx), '') AS text
+  FROM nz1 LEFT JOIN boiler b ON b.line = nz1.line
+  GROUP BY nz1.doc_id
+),
+-- stage 2: within-doc line dedup (keep first occurrence)
+l2 AS (
+  SELECT doc_id,
+         unnest([{{'idx': i, 'line': parts[i]}}
+                 for i in generate_series(1, len(parts))], recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM s1)
+),
+first2 AS (
+  SELECT doc_id, line, min(idx) AS idx FROM l2 GROUP BY doc_id, line
+),
+s2 AS (
+  SELECT doc_id,
+         coalesce(string_agg(line, chr(10) ORDER BY idx), '') AS text
+  FROM first2 GROUP BY doc_id
+),
+-- stage 3: PII scrub (email -> ip -> phone, progressive)
+p1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1
+  FROM s2
+),
+p2 AS (SELECT *, regexp_replace(t1, '{i}', '<IP>', 'g') AS t2 FROM p1),
+s3 AS (
+  SELECT doc_id,
+         regexp_replace(t2, '{p}', '<PHONE>', 'g') AS text,
+         (len(regexp_extract_all(text, '{e}'))
+          + len(regexp_extract_all(t1, '{i}'))
+          + len(regexp_extract_all(t2, '{p}')))::BIGINT AS n_pii
+  FROM p2
+),
+-- stage 4: quality + language gate over the CLEANED text
+tok4 AS (
+  SELECT doc_id, text, n_pii,
+         regexp_extract_all(lower(text), '\\w+') AS t
+  FROM s3
+),
+qual AS (
+  SELECT doc_id,
+         round(0.3 * (CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN (CASE WHEN len(t) > 0
+                       THEN list_sum(list_transform(t, x -> strlen(x))) * 1.0 / len(t)
+                       ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN strlen(text) > 0
+                   THEN strlen(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g')) * 1.0
+                        / strlen(text) ELSE 0.0 END) / 0.8, 1.0)
+             + 0.2 * least((CASE WHEN len(t) > 0
+                   THEN len(list_filter(t, x -> list_contains([{_SW_EN}], x))) * 1.0
+                        / len(t) ELSE 0.0 END) / 0.3, 1.0), 6) AS quality
+  FROM tok4
+),
+toks4 AS (SELECT doc_id, unnest(t) AS term FROM tok4),
+sw(lang, word) AS (VALUES {_SW_VALUES}),
+lhits AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks4 JOIN sw ON toks4.term = sw.word
+  GROUP BY doc_id, lang
+),
+lbest AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM lhits
+),
+lang4 AS (
+  SELECT s3.doc_id, coalesce(b.lang, 'und') AS pred_lang
+  FROM s3 LEFT JOIN (SELECT * FROM lbest WHERE rn = 1) b ON s3.doc_id = b.doc_id
+),
+gated AS (
+  SELECT s3.doc_id, lang4.pred_lang, qual.quality, s3.n_pii, s3.text
+  FROM s3 JOIN qual ON qual.doc_id = s3.doc_id
+  JOIN lang4 ON lang4.doc_id = s3.doc_id
+  WHERE lang4.pred_lang = 'en' AND qual.quality >= {_PC_QUALITY_MIN}
+),
+-- stage 5: exact dedup on the cleaned text (keep lowest doc_id per hash)
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM gated
+)
+SELECT doc_id, pred_lang, quality, n_pii, text AS clean_text
+FROM ranked WHERE rn = 1
+"""
+
+
+SQL_PIPELINE_CLEAN = _pipeline_clean_sql()
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1325,6 +1563,7 @@ def pipeline_queries() -> dict:
         "text_dedup_lines": q_text_dedup_lines,
         "text_strip_boilerplate": q_text_strip_boilerplate,
         "text_scrub_pii": q_text_scrub_pii,
+        "pipeline_clean": q_pipeline_clean,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "url_host_stats": q_url_host_stats,
@@ -1358,6 +1597,7 @@ def pipeline_oracles() -> dict:
         "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
         "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
         "text_scrub_pii": SQL_TEXT_SCRUB_PII,
+        "pipeline_clean": SQL_PIPELINE_CLEAN,
         "media_stats": SQL_MEDIA_STATS,
         "media_decode": SQL_MEDIA_DECODE,
         "url_host_stats": SQL_URL_HOST_STATS,

@@ -645,3 +645,47 @@ def test_span_fingerprint_plan_shapes(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_clean_every_stage_is_nonvacuous(spark):
+    """The composed cleaning entry must show EACH stage doing real work on
+    the driver testdata: clones dropped by the final dedup, boilerplate
+    lines gone, PII redacted, and the quality/lang gate cutting docs."""
+    from neural_search_spark.plans.pipeline_entry import (
+        _PC_CLONE_OFF,
+        _docs_dirty,
+        q_pipeline_clean,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    dirty_n = _docs_dirty(spark, sf_dir).count()
+    out = q_pipeline_clean(spark, sf_dir)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # stage 5: every clone cleans to its original's bytes -> all dropped
+    assert all(d < _PC_CLONE_OFF for d in ids), "clones must dedup away"
+    # gate: some docs are cut (clones + any und/low-quality docs)
+    assert 0 < len(rows) < dirty_n
+    # stage 1: no boilerplate line survives AS A LINE (a doc whose last line
+    # is boilerplate + an appended PII suffix keeps that composite line —
+    # it's a distinct df=1 string, by construction on both engines)
+    bp = "please accept our cookie policy to continue"
+    assert not any(
+        l == bp for r in rows for l in r["clean_text"].split("\n")
+    )
+    assert any(r["doc_id"] % 5 == 0 for r in rows), "mod-5 docs survive minus the line"
+    # stage 3: at least one doc had PII redacted, and no raw email survives
+    assert any(r["n_pii"] > 0 for r in rows)
+    assert not any("@example.com" in r["clean_text"] for r in rows)
+    assert any("<EMAIL>" in r["clean_text"] for r in rows if r["n_pii"])
+    # stage 2: the mod-3 self-duplicate line is gone for a clean mod-3 doc
+    # (pick one with no PII suffix so the dup line was byte-identical)
+    cand = [
+        r for r in rows
+        if r["doc_id"] % 3 == 0 and r["doc_id"] % 6 != 0
+        and r["doc_id"] % 9 != 0 and r["doc_id"] % 13 != 0
+    ]
+    assert cand, "need a PII-free mod-3 doc"
+    for r in cand:
+        lines = r["clean_text"].split("\n")
+        assert len(lines) == len(set(lines)), r["doc_id"]
