@@ -1204,6 +1204,71 @@ SELECT phrase_id, rank, doc_id, phrase_tf FROM (
 )
 
 
+def q_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-SCORED retrieval (``query/phrase.py:phrase_bm25_topk``): the
+    phrase ranks as one synthetic BM25 term (tf = phrase_tf, df = docs
+    containing the phrase), so rare expressions outrank common ones —
+    ``phrase_topk`` orders by raw tf only."""
+    from ..functions.tokenize import doc_lengths
+    from ..query.phrase import doc_term_positions, phrase_bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    dl = doc_lengths(docs, id_col="doc_id").persist()
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("doc_len") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    pos = doc_term_positions(docs, id_col="doc_id")
+    return phrase_bm25_topk(
+        pos, dl, spark, ENTRY_PHRASES,
+        n_docs=int(row["n"]), avgdl=float(row["avgdl"]),
+        k1=K1, b=B, score_rounding=4,
+    )
+
+
+SQL_PHRASE_BM25 = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '\w+')))) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+matches AS ("""
+    + " UNION ALL ".join(_phrase_match_sql(*p) for p in ENTRY_PHRASES)
+    + f""")
+, dfp AS (SELECT phrase_id, count(*) AS df_p FROM matches GROUP BY phrase_id),
+idfp AS (
+  SELECT phrase_id,
+         ln((SELECT n_docs FROM cstats) - df_p + 0.5) - ln(df_p + 0.5) AS idf_p
+  FROM dfp
+),
+scored AS (
+  SELECT m.phrase_id, m.top_k, m.doc_id,
+         round(i.idf_p * (m.phrase_tf * ({K1} + 1.0)
+           / (m.phrase_tf + {K1} * (1 - {B} + {B} * dl.doc_len
+              / (SELECT avgdl FROM cstats)))), 4) AS score
+  FROM matches m
+  JOIN idfp i ON i.phrase_id = m.phrase_id
+  JOIN dl ON dl.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT phrase_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY phrase_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT phrase_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+)
+
+
 # Proximity queries over the rare-term-augmented view: the zq suffix terms
 # sit at the end of each doc, so a (rare, common) pair's minimal covering
 # window is the distance from the last common-term occurrence to the suffix —
@@ -2418,6 +2483,7 @@ def base_queries() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "search_eval": q_search_eval,
         "phrase_topk": q_phrase_topk,
+        "phrase_bm25_topk": q_phrase_bm25_topk,
         "proximity_topk": q_proximity_topk,
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
@@ -2463,6 +2529,7 @@ def base_oracles() -> dict:
         "rrf_fusion": SQL_RRF_FUSION,
         "search_eval": SQL_SEARCH_EVAL,
         "phrase_topk": SQL_PHRASE_TOPK,
+        "phrase_bm25_topk": SQL_PHRASE_BM25,
         "proximity_topk": SQL_PROXIMITY_TOPK,
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,

@@ -479,3 +479,66 @@ def ordered_near_topk_indexed(
     )
     pos = indexed_positions(index, all_terms)
     return ordered_near_topk(pos, spark, queries)
+
+
+# --- Phrase-scored retrieval (PhraseQuery ranking, not just matching) ---------
+
+
+def phrase_bm25_topk(
+    positions: DataFrame,
+    doc_lengths: DataFrame,
+    spark,
+    phrases: list[tuple[int, str, int]],
+    n_docs: int,
+    avgdl: float,
+    k1: float = 1.5,
+    b: float = 0.75,
+    score_rounding: int | None = None,
+) -> DataFrame:
+    """Rank docs by a BM25 score of the PHRASE itself (Lucene PhraseQuery
+    scoring): the phrase acts as one synthetic term whose tf is
+    ``phrase_tf`` and whose df is the number of docs containing the phrase,
+
+        idf_p  = ln(N - df_p + 0.5) - ln(df_p + 0.5)
+        score  = idf_p * phrase_tf * (k1 + 1)
+                 / (phrase_tf + k1 * (1 - b + b * dl / avgdl))
+
+    so rare multi-word expressions rank far above common ones — matching
+    alone (``phrase_topk``) orders only by raw phrase_tf. The phrase df is
+    computed from the match set itself (exact, no index extension needed);
+    ``(score desc, doc_id asc)`` with optional rounded-rank reconciliation.
+    """
+    m = phrase_match(positions, spark, phrases)
+    df_p = m.groupBy("phrase_id").agg(F.count(F.lit(1)).alias("df_p"))
+    idf = df_p.select(
+        "phrase_id",
+        (
+            F.log(F.lit(float(n_docs)) - F.col("df_p") + 0.5)
+            - F.log(F.col("df_p") + 0.5)
+        ).alias("idf_p"),
+    )
+    tf = F.col("phrase_tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl))
+    scored = (
+        m.join(F.broadcast(idf), "phrase_id")
+        .join(doc_lengths, "doc_id")
+        .select(
+            "phrase_id",
+            "top_k",
+            "doc_id",
+            (F.col("idf_p") * (tf * (k1 + 1.0) / denom)).alias("score"),
+        )
+    )
+    if score_rounding is not None:
+        scored = scored.withColumn("score", F.round("score", score_rounding))
+    w = Window.partitionBy("phrase_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .select(
+            "phrase_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )

@@ -381,3 +381,35 @@ def test_ordered_near_exact_phrase_degenerate(spark):
     near = {r["doc_id"] for r in ordered_near_topk(pos, spark, [(0, "big data", 10, 2)]).collect()}
     phr = {r["doc_id"] for r in phrase_topk(pos, spark, [(0, "big data", 10)]).collect()}
     assert near == phr == {0}
+
+
+def test_phrase_bm25_rare_phrase_outranks_common(spark):
+    """Phrase scoring must invert raw-tf ordering when the higher-tf phrase
+    is common: a doc with ONE occurrence of a rare phrase outranks a doc
+    with TWO occurrences of a phrase found everywhere."""
+    from neural_search_spark.functions.tokenize import doc_lengths
+    from neural_search_spark.query.phrase import doc_term_positions, phrase_bm25_topk
+
+    rows = [(0, "rare pair here filler words now")] + [
+        (i, "common duo common duo filler words") for i in range(1, 9)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    dl = doc_lengths(corpus, id_col="doc_id")
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("doc_len") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    pos = doc_term_positions(corpus)
+    phrases = [(0, "rare pair", 10), (1, "common duo", 10)]
+    res = phrase_bm25_topk(
+        pos, dl, spark, phrases, n_docs=int(row["n"]), avgdl=float(row["avgdl"])
+    ).collect()
+    by_p = {}
+    for r in res:
+        by_p.setdefault(r["phrase_id"], {})[r["doc_id"]] = r["score"]
+    rare_score = by_p[0][0]
+    common_best = max(by_p[1].values())
+    # df("rare pair") = 1 of 9 -> high idf; df("common duo") = 8 of 9 ->
+    # negative idf; even phrase_tf 2 cannot save it
+    assert rare_score > common_best
+    assert common_best < 0, "a phrase in >half the docs gets a negative idf"
