@@ -324,6 +324,29 @@ def cmd_serve(args) -> int:
                         flush=True,
                     )
                     continue
+                if "mget" in req:
+                    # {"mget": [doc_id, ...]} — ES _mget analog: fetch docs
+                    # by id through the hydration path (needs --corpus)
+                    if not hasattr(reader, "hydrate"):
+                        print(json.dumps({"error": "mget not supported on a multi-partition replica"}), flush=True)
+                        continue
+                    try:
+                        docs = reader.hydrate([int(d) for d in req["mget"]])
+                    except ValueError as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
+                    print(
+                        json.dumps(
+                            {
+                                "docs": [
+                                    {"doc_id": d, **rec}
+                                    for d, rec in sorted(docs.items())
+                                ]
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
                 if "termvectors" in req:
                     # {"termvectors": doc_id, "positions"?: bool} — the ES
                     # _termvectors analog, recovered from the lossless index
@@ -550,8 +573,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument(
         "--corpus", default=None,
         help="corpus parquet path (url, text); enables result hydration "
-        "(url + content per hit, the reference's response shape) and "
-        "snippets via {\"hydrate\": true, \"snippet_window\": W}",
+        "(url + content per hit, the reference's response shape), "
+        "snippets via {\"hydrate\": true, \"snippet_window\": W}, and "
+        "fetch-by-id via {\"mget\": [doc_id, ...]}",
     )
     sv.set_defaults(fn=cmd_serve)
 

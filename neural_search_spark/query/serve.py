@@ -469,11 +469,11 @@ class IndexReader:
 
         span = self.docs_per_shard
         urls: dict[int, str] = {}
-        for s in sorted({d // span for d in doc_ids}):
-            t = pq.read_table(
-                os.path.join(self.root, "docmap", f"shard={s}"),
-                columns=["doc_id", "url"],
-            )
+        for s in sorted({d // span for d in doc_ids if d >= 0}):
+            shard_dir = os.path.join(self.root, "docmap", f"shard={s}")
+            if not os.path.isdir(shard_dir):
+                continue  # unknown ids resolve to no doc, not an error
+            t = pq.read_table(shard_dir, columns=["doc_id", "url"])
             m = dict(
                 zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist())
             )

@@ -360,3 +360,29 @@ def test_cli_stats(idx_dir):
     assert out["n_docs"] > 0 and out["vocabulary"] > 0
     assert out["analyzer"] == "" and out["positional"] is False
     assert out["postings_bytes"] > 0 and out["n_shards"] >= 1
+
+
+def test_cli_serve_mget(idx_dir):
+    """{"mget": [ids]} fetches documents by id via the hydration path."""
+    import json
+    import subprocess
+    import sys
+
+    import os
+
+    # the idx_dir fixture's corpus lives next to it
+
+    root = os.path.dirname(idx_dir.rstrip("/"))
+    corpus = os.path.join(root, "corpus")
+    req = json.dumps({"mget": [0, 3, 10_000_000]})
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--corpus", corpus],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[0])
+    got = {d["doc_id"]: d for d in out["docs"]}
+    assert set(got) == {0, 3}, "unknown ids are silently absent"
+    assert got[0]["url"] and got[0]["content"]
