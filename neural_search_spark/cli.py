@@ -387,6 +387,7 @@ def cmd_serve(args) -> int:
                 top_k = int(req.get("top_k", args.top_k))
                 allowed = req.get("filter_ids")
                 use_bool = bool(req.get("bool"))
+                msm = int(req.get("minimum_should_match", 0))
                 offset = int(req.get("offset", 0))
                 sa = req.get("search_after")
                 search_after = (
@@ -401,6 +402,7 @@ def cmd_serve(args) -> int:
                 continue
         else:
             use_bool = False
+            msm = 0
             offset = 0
             search_after = None
             hydrate = False
@@ -413,11 +415,13 @@ def cmd_serve(args) -> int:
             print(json.dumps({"error": "hydrate not supported on a multi-partition replica"}), flush=True)
             continue
         if use_bool:
-            # {"query": "+must -not should", "bool": true}: Lucene-style
-            # clause syntax via IndexReader.query_bool
+            # {"query": "+must -not should", "bool": true,
+            #  "minimum_should_match"?: n}: Lucene-style clause syntax via
+            # IndexReader.query_bool
             hits = reader.query_bool(
                 text, top_k=top_k, positive_only=not args.match_all,
                 allowed_docs=allowed, offset=offset, search_after=search_after,
+                min_should_match=msm,
             )
         else:
             hits = reader.query(

@@ -1961,11 +1961,11 @@ def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bool_values_sql() -> str:
+def _bool_values_sql(queries: list[tuple[int, str, int]] | None = None) -> str:
     from ..query.boolean import parse_bool_query
 
     rows = []
-    for qid, text, k in ENTRY_BOOL_QUERIES:
+    for qid, text, k in queries if queries is not None else ENTRY_BOOL_QUERIES:
         counts: dict[tuple[str, str], int] = {}
         for clause, term in parse_bool_query(text):
             counts[(clause, term)] = counts.get((clause, term), 0) + 1
@@ -1976,9 +1976,14 @@ def _bool_values_sql() -> str:
     return ", ".join(rows)
 
 
-SQL_BOOL_TOPK = f"""
+def _bool_sql(queries: list[tuple[int, str, int]] | None = None, msm: int = 0) -> str:
+    """Boolean-retrieval oracle; ``msm`` adds the distinct-should-match
+    floor (Lucene setMinimumNumberShouldMatch) mirroring
+    ``bm25_topk_bool(min_should_match=msm)``."""
+    msm_pred = f"\n    AND mc.n_should >= {msm}" if msm > 0 else ""
+    return f"""
 WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
-bq(query_id, top_k, clause, term, qtf) AS (VALUES {_bool_values_sql()}),
+bq(query_id, top_k, clause, term, qtf) AS (VALUES {_bool_values_sql(queries)}),
 mustn AS (
   SELECT query_id,
          count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_must
@@ -1995,7 +2000,8 @@ matched AS (
 ),
 mc AS (
   SELECT query_id, doc_id,
-         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_have
+         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_have,
+         count(DISTINCT CASE WHEN clause = 'should' THEN term END) AS n_should
   FROM matched GROUP BY query_id, doc_id
 ),
 scored AS (
@@ -2013,7 +2019,7 @@ elig AS (
   FROM scored s
   JOIN mc ON mc.query_id = s.query_id AND mc.doc_id = s.doc_id
   JOIN mustn ON mustn.query_id = s.query_id
-  WHERE mc.n_have = mustn.n_must
+  WHERE mc.n_have = mustn.n_must{msm_pred}
     AND NOT EXISTS (
       SELECT 1 FROM excl e
       WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id
@@ -2028,6 +2034,46 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
+
+
+SQL_BOOL_TOPK = _bool_sql()
+
+
+# minimum_should_match entry: >=2 distinct should matches required. Mixes
+# pure-should (partial overlap decides eligibility), must+msm composition,
+# a must_not on top, a 2-should query (msm turns OR into AND), and a
+# single-should query that is empty by construction.
+ENTRY_BOOL_MSM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "window merge table", 8),
+    (1, "+zq1 window merge", 8),
+    (2, "dup window -zq2 merge", 8),
+    (3, "window zq4", 8),
+    (4, "dup", 8),
+]
+_BOOL_MSM_N = 2
+
+
+def q_bool_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval with ``min_should_match`` (Lucene
+    setMinimumNumberShouldMatch): docs need >= n DISTINCT should-term
+    matches on top of the must/must_not constraints. The count rides the
+    same (query, doc) aggregation grain as the score — no new shuffle."""
+    from ..query.boolean import bm25_topk_bool, bool_terms_df
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    bt = bool_terms_df(spark, ENTRY_BOOL_MSM_QUERIES)
+    ranked = bm25_topk_bool(
+        idx, bt, positive_only=False, round_to=4, min_should_match=_BOOL_MSM_N
+    )
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_BOOL_TOPK_MSM = _bool_sql(ENTRY_BOOL_MSM_QUERIES, msm=_BOOL_MSM_N)
 
 
 # --- Fuzzy term suggestion ("did you mean") ----------------------------------
@@ -2496,6 +2542,7 @@ def base_queries() -> dict:
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
         "bool_topk": q_bool_topk,
+        "bool_topk_msm": q_bool_topk_msm,
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
         "bm25f_topk": q_bm25f_topk,
@@ -2542,6 +2589,7 @@ def base_oracles() -> dict:
         "prefix_topk": SQL_PREFIX_TOPK,
         "wildcard_topk": SQL_WILDCARD_TOPK,
         "bool_topk": SQL_BOOL_TOPK,
+        "bool_topk_msm": SQL_BOOL_TOPK_MSM,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,
         "bm25f_topk": SQL_BM25F_TOPK,

@@ -72,12 +72,22 @@ def bm25_topk_bool(
     params: BM25Params = DEFAULT_PARAMS,
     positive_only: bool = False,
     round_to: int | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Per-query boolean top-k: (query_id, rank, doc_id, score).
 
     ``bool_terms`` is the parsed clause table (see ``bool_terms_df``),
     assumed query-cardinality (broadcast side). ``round_to`` rounds scores
     before the rank window (oracle reconciliation).
+
+    ``min_should_match`` is Lucene's
+    ``BooleanQuery.setMinimumNumberShouldMatch(n)``: a doc is eligible only
+    if it matches at least n DISTINCT should terms (repeated occurrences of
+    one term count once), on top of the must/must_not constraints. A query
+    with fewer than n distinct should terms can match nothing — same literal
+    semantics as Lucene, pinned in tests. The count rides the same
+    (query, doc) aggregation key as the score, so it adds no new shuffle
+    grain.
     """
     bt = bool_terms
     # required-term count per query (0 for pure should queries): tiny,
@@ -126,6 +136,18 @@ def bm25_topk_bool(
         .distinct()
     )
     eligible = eligible.join(excluded, ["query_id", "doc_id"], "left_anti")
+
+    if min_should_match > 0:
+        should_counts = (
+            matched.where(F.col("clause") == "should")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count_distinct("term").alias("n_should"))
+        )
+        eligible = (
+            eligible.join(should_counts, ["query_id", "doc_id"], "left")
+            .where(F.coalesce(F.col("n_should"), F.lit(0)) >= min_should_match)
+            .drop("n_should")
+        )
 
     if positive_only:
         eligible = eligible.where(F.col("score") > 0)

@@ -646,11 +646,15 @@ class IndexReader:
         allowed_docs=None,
         offset: int = 0,
         search_after: tuple[float, int] | None = None,
+        min_should_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Boolean serving twin of ``query/boolean.py:bm25_topk_bool``:
         ``+term`` must appear, ``-term`` must not, bare terms score
         optionally — same eligibility and scoring semantics as the cluster
         operator (parity pinned in tests/test_serve.py).
+        ``min_should_match`` requires >= n distinct should terms per doc
+        (Lucene setMinimumNumberShouldMatch), counted on the same posting
+        id arrays the must intersection uses.
 
         Must-eligibility is the numpy intersection of the must terms'
         posting id arrays (folded into ``_score``'s pre-rank ``allowed``
@@ -674,6 +678,8 @@ class IndexReader:
                 fkey["offset"] = offset
             if search_after is not None:
                 fkey["after"] = f"{search_after[0]!r}:{int(search_after[1])}"
+            if min_should_match:
+                fkey["msm"] = min_should_match
             skey = TtlLruCache.make_search_key(
                 f"bool:{text}", top_k, positive_only, self.snapshot,
                 filters=fkey or None,
@@ -692,7 +698,14 @@ class IndexReader:
             counts[(clause, term)] = counts.get((clause, term), 0) + 1
         must_terms = sorted({t for c, t in counts if c == "must"})
         not_terms = sorted({t for c, t in counts if c == "must_not"})
-        if any(t not in self.idf for t in must_terms):
+        should_terms = (
+            sorted({t for c, t in counts if c == "should" and t in self.idf})
+            if min_should_match > 0
+            else []
+        )
+        if any(t not in self.idf for t in must_terms) or (
+            min_should_match > 0 and len(should_terms) < min_should_match
+        ):
             result: list[tuple[int, float]] = []
         else:
             # qtf sums across must+should clauses (per-occurrence semantics,
@@ -706,7 +719,9 @@ class IndexReader:
                 prev = qterms.get(term, (0, self.idf[term]))
                 qterms[term] = (prev[0] + qtf, prev[1])
 
-            post = self._postings_for(sorted(set(must_terms) | set(not_terms)))
+            post = self._postings_for(
+                sorted(set(must_terms) | set(not_terms) | set(should_terms))
+            )
 
             def _ids_of(term: str) -> np.ndarray:
                 parts = [ids for _shard, ids, _tfs in post[term]]
@@ -720,6 +735,13 @@ class IndexReader:
             for t in must_terms:
                 have = _ids_of(t)
                 allowed = have if allowed is None else np.intersect1d(allowed, have)
+            if min_should_match > 0:
+                # each term's id array is unique within the term, so the
+                # concat's multiplicity IS the distinct-should-match count
+                cat = np.concatenate([_ids_of(t) for t in should_terms])
+                ids_u, n_match = np.unique(cat, return_counts=True)
+                sat = ids_u[n_match >= min_should_match]
+                allowed = sat if allowed is None else np.intersect1d(allowed, sat)
             excluded = (
                 np.unique(np.concatenate([_ids_of(t) for t in not_terms]))
                 if not_terms

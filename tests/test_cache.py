@@ -305,18 +305,28 @@ def test_cli_serve_bool_request(idx_dir):
     import subprocess
     import sys
 
-    req = json.dumps({"query": "+w0005 -w0010", "top_k": 5, "bool": True})
+    reqs = "\n".join([
+        json.dumps({"query": "+w0005 -w0010", "top_k": 5, "bool": True}),
+        json.dumps({"query": "w0005 w0010 w0001", "top_k": 5, "bool": True,
+                    "minimum_should_match": 2}),
+    ])
     proc = subprocess.run(
         [sys.executable, "-m", "neural_search_spark.cli", "serve",
          "--index", idx_dir, "--top-k", "5", "--match-all"],
-        input=req + "\n",
+        input=reqs + "\n",
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr
-    out = json.loads(proc.stdout.strip().splitlines()[0])
-    expect = IndexReader(idx_dir).query_bool("+w0005 -w0010", top_k=5)
-    assert [(h["doc_id"], h["score"]) for h in out["hits"]] == expect
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    reader = IndexReader(idx_dir)
+    expect = reader.query_bool("+w0005 -w0010", top_k=5)
+    assert [(h["doc_id"], h["score"]) for h in lines[0]["hits"]] == expect
     assert len(expect) > 0
+    expect_msm = reader.query_bool(
+        "w0005 w0010 w0001", top_k=5, min_should_match=2
+    )
+    assert [(h["doc_id"], h["score"]) for h in lines[1]["hits"]] == expect_msm
+    assert len(expect_msm) > 0
 
 
 def test_cli_serve_search_after_cursor(idx_dir):

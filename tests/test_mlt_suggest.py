@@ -243,6 +243,52 @@ def test_bool_plan_broadcasts_clause_table(spark, mlt_index):
     assert "SortMergeJoin [term" not in plan
 
 
+def test_bool_min_should_match(spark, mlt_index):
+    """Lucene setMinimumNumberShouldMatch semantics: a doc needs >= n
+    DISTINCT should-term matches (occurrences of one term count once), on
+    top of the must/must_not constraints.
+
+    Corpus recap: zebra in {0,1,2}, quark in {0,1}, data everywhere but 4.
+    """
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    cases = [
+        # (text, msm, expected doc set)
+        ("zebra quark data", 1, {0, 1, 2, 3, 5, 6, 7, 8, 9}),
+        ("zebra quark data", 2, {0, 1, 2}),   # doc 2: zebra+data only
+        ("zebra quark data", 3, {0, 1}),
+        ("zebra quark", 3, set()),            # fewer distinct shoulds than n
+        ("+data zebra quark", 1, {0, 1, 2}),  # must AND >=1 should
+        # repeated occurrences of one term count once
+        ("zebra zebra quark", 2, {0, 1}),
+    ]
+    for qi, (text, msm, expect) in enumerate(cases):
+        bt = bool_terms_df(spark, [(qi, text, 20)])
+        got = {
+            r["doc_id"]
+            for r in bm25_topk_bool(
+                mlt_index, bt, min_should_match=msm
+            ).collect()
+        }
+        assert got == expect, f"{text!r} msm={msm}"
+
+
+def test_bool_min_should_match_scores_unchanged(spark, mlt_index):
+    """msm only FILTERS eligibility — surviving docs keep exactly the score
+    the unconstrained boolean query gives them."""
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    bt = bool_terms_df(spark, [(0, "zebra quark data", 20)])
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_bool(mlt_index, bt).collect()
+    }
+    constrained = bm25_topk_bool(mlt_index, bt, min_should_match=2).collect()
+    assert {r["doc_id"] for r in constrained} < set(base)
+    for r in constrained:
+        assert r["score"] == pytest.approx(base[r["doc_id"]], abs=1e-9)
+
+
 # --- synonym folding ---------------------------------------------------------
 
 

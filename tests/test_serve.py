@@ -199,6 +199,40 @@ def test_reader_query_bool_matches_cluster_op(spark, served):
             assert gs == pytest.approx(es, abs=1e-9)
 
 
+def test_reader_query_bool_min_should_match_matches_cluster(spark, served):
+    """Replica msm == cluster op msm: same docs, order, scores; strictly
+    fewer docs than the unconstrained query; n > distinct shoulds -> []."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+
+    index, reader = served
+    corpus = index.docmap.sparkSession.read.parquet(
+        reader.root.rsplit("/idx", 1)[0] + "/corpus"
+    )
+    idx = build_logical_index(assign_doc_ids(corpus), persist=True)
+    text = "w0005 w0010 w0001"
+    full = reader.query_bool(text, top_k=400)
+    for msm in (2, 3):
+        bt = bool_terms_df(spark, [(0, text, 400)])
+        expect = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_bool(idx, bt, min_should_match=msm)
+            .orderBy("rank")
+            .collect()
+        ]
+        got = reader.query_bool(text, top_k=400, min_should_match=msm)
+        assert [d for d, _ in got] == [d for d, _ in expect], msm
+        for (_, gs), (_, es) in zip(got, expect):
+            assert gs == pytest.approx(es, abs=1e-9)
+        assert len(got) < len(full)
+    assert reader.query_bool(text, top_k=10, min_should_match=4) == []
+    # must + msm compose: the must filter applies on top of the should count
+    combo = reader.query_bool("+w0005 w0010 w0001", top_k=400, min_should_match=1)
+    must_ids = {d for d, _ in reader.query_bool("+w0005", top_k=400)}
+    assert combo and all(d in must_ids for d, _ in combo)
+
+
 def test_reader_query_bool_allowed_docs_compose(served):
     _, reader = served
     full = reader.query_bool("+w0005 w0010", top_k=100)
