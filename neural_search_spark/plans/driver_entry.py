@@ -2509,6 +2509,328 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+# --- Result shaping: collapse / function_score / boosting / rescore ----------
+
+# shared scored-CTE prefix (match mode, unrounded scores) over the plain
+# corpus; the shaping entries round AFTER combining/collapsing, mirroring the
+# Spark ops' round_to placement.
+def _scored_prefix(queries: list, src: str = "documents") -> str:
+    return f"""{_base_ctes(src)},
+{_query_values_sql(queries)},
+contrib AS (
+  SELECT q.query_id, q.top_k, tf.doc_id,
+         q.qtf * f.idf * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(c) AS score
+  FROM contrib GROUP BY query_id, top_k, doc_id
+)"""
+
+
+def q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (``query/rescore.py:collapse_topk``): best doc
+    per ``source`` site, groups competing by their best member."""
+    from ..query.rescore import collapse_topk
+
+    docs = _docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    ranked = collapse_topk(
+        idx, _queries_df(spark), docs, "source", per_key=1,
+        positive_only=False, round_to=4,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "score",
+    )
+
+
+SQL_COLLAPSE_TOPK = f"""
+WITH {_scored_prefix(ENTRY_QUERIES)},
+keyed AS (
+  SELECT s.query_id, s.top_k, s.doc_id, d.source, round(s.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.source
+           ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+         ) AS kr
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, source, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM keyed WHERE kr <= 1
+)
+SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= top_k
+"""
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score / field_value_factor (``rescore.py``):
+    final = bm25 * round(ln(1 + n_chars), 6) — a length prior folded into
+    relevance, rank decided on the 4dp-rounded product."""
+    from ..query.rescore import function_score_topk
+
+    docs = _docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    ranked = function_score_topk(
+        idx, _queries_df(spark), docs, "n_chars",
+        positive_only=False, round_to=4,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_FUNCTION_SCORE_TOPK = f"""
+WITH {_scored_prefix(ENTRY_QUERIES)},
+combined AS (
+  SELECT s.query_id, s.top_k, s.doc_id,
+         round(s.score * round(ln(1.0 + d.n_chars), 6), 4) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM combined
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
+# boosting: positive common-term queries, negative rare-term query over the
+# augmented corpus (zq<k> marks doc_id%7==k, so each negative term demotes a
+# deterministic 1/7 slice).
+ENTRY_BOOSTING: list[tuple[int, str, str, int]] = [
+    (0, "join hash", "zq1", 10),
+    (1, "vector scan spark", "zq2 zq5", 10),
+    (2, "customer order group", "nosuchterm", 10),
+    (3, "batch window", "zq0", 8),
+]
+_NEG_BOOST = 0.5
+
+
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query (``rescore.py:boosting_topk``): docs matching the
+    negative query are demoted by x0.5, never excluded."""
+    from ..query.rescore import boosting_topk
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    pos = spark.createDataFrame(
+        [(q, t, k) for q, t, _n, k in ENTRY_BOOSTING],
+        "query_id int, query_text string, top_k int",
+    )
+    neg = spark.createDataFrame(
+        [(q, n) for q, _t, n, _k in ENTRY_BOOSTING],
+        "query_id int, query_text string",
+    )
+    ranked = boosting_topk(
+        idx, pos, neg, negative_boost=_NEG_BOOST,
+        positive_only=False, round_to=4,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _boosting_sql() -> str:
+    neg_rows = []
+    for qid, _t, ntext, _k in ENTRY_BOOSTING:
+        for term in sorted(set(tokenize_py(ntext))):
+            neg_rows.append(f"({qid}, '{term}')")
+    pos_queries = [(q, t, k) for q, t, _n, k in ENTRY_BOOSTING]
+    return f"""
+WITH {_AUG_CTE},{_scored_prefix(pos_queries, src="docs_aug")},
+nq(query_id, term) AS (VALUES {", ".join(neg_rows)}),
+neg AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM nq JOIN tf ON tf.term = nq.term
+),
+demoted AS (
+  SELECT s.query_id, s.top_k, s.doc_id,
+         round(CASE WHEN n.doc_id IS NOT NULL
+                    THEN s.score * {_NEG_BOOST} ELSE s.score END, 4) AS score
+  FROM scored s
+  LEFT JOIN neg n ON n.query_id = s.query_id AND n.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM demoted
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
+SQL_BOOSTING_TOPK = _boosting_sql()
+
+
+# rescore: common-term retrieval, exact-bigram phrase bonus inside a
+# 40-doc window. Phrases chosen from adjacent-word pairs that occur in the
+# corpus (vocab words are uniformly shuffled, so any pair appears).
+ENTRY_RESCORE: list[tuple[int, str, str, int]] = [
+    (0, "join hash", "join hash", 10),
+    (1, "vector scan spark", "vector scan", 10),
+    (2, "customer order group", "customer order", 10),
+    (3, "batch window", "window batch", 8),
+]
+_RESCORE_WINDOW = 40
+_RESCORE_W = 2.0
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore window (``rescore.py:rescore_topk``): the top-40 BM25
+    hits get final = bm25 + 2 * exact-phrase occurrences; text is scanned
+    for queries x window rows only."""
+    from ..query.rescore import rescore_topk
+
+    docs = _docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    q = spark.createDataFrame(
+        [(qid, t, k) for qid, t, _p, k in ENTRY_RESCORE],
+        "query_id int, query_text string, top_k int",
+    )
+    phrases = spark.createDataFrame(
+        [(qid, p) for qid, _t, p, _k in ENTRY_RESCORE],
+        "query_id int, phrase string",
+    )
+    ranked = rescore_topk(
+        idx, q, docs, phrases, window_size=_RESCORE_WINDOW,
+        rescore_weight=_RESCORE_W, positive_only=False, round_to=4,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _rescore_sql() -> str:
+    pos_queries = [(q, t, k) for q, t, _p, k in ENTRY_RESCORE]
+    ph_rows = ", ".join(f"({qid}, '{p}')" for qid, _t, p, _k in ENTRY_RESCORE)
+    return f"""
+WITH {_scored_prefix(pos_queries)},
+r0 AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS s0,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS r0
+  FROM scored
+),
+ph(query_id, phrase) AS (VALUES {ph_rows}),
+resc AS (
+  SELECT w.query_id, w.top_k, w.doc_id,
+         round(w.s0 + {_RESCORE_W} *
+               (length(d.text) - length(replace(d.text, ph.phrase, '')))
+               / length(ph.phrase), 4) AS score
+  FROM r0 w
+  JOIN documents d ON d.doc_id = w.doc_id
+  JOIN ph ON ph.query_id = w.query_id
+  WHERE w.r0 <= {_RESCORE_WINDOW}
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM resc
+)
+SELECT query_id, rank, doc_id, score
+FROM ranked WHERE rank <= least(top_k, {_RESCORE_WINDOW})
+"""
+
+
+SQL_RESCORE_TOPK = _rescore_sql()
+
+
+# percolation: saved searches matched against the augmented corpus. Mixes
+# must-pairs, should+exclusion, pure should, an unknown must (matches
+# nothing), and a rare-only must.
+ENTRY_PERCOLATE: list[tuple[int, str]] = [
+    (0, "+zq1 +join"),
+    (1, "zq2 -join"),
+    (2, "dup zq3"),
+    (3, "+nosuchterm join"),
+    (4, "+dup"),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator / reverse search (``query/percolate.py``): which saved
+    boolean queries match each doc; one broadcast clause join + one
+    (query, doc) groupBy for the whole corpus x query-set product."""
+    from ..query.percolate import percolate, registered_queries_df
+
+    idx = build_logical_index(_aug_docs(spark, sf_dir), persist=True)
+    registered = registered_queries_df(spark, ENTRY_PERCOLATE)
+    return percolate(idx, registered).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("long").alias("query_id"),
+    )
+
+
+def _percolate_sql() -> str:
+    from ..query.boolean import parse_bool_query
+
+    rows = sorted(
+        {
+            (qid, clause, term)
+            for qid, text in ENTRY_PERCOLATE
+            for clause, term in parse_bool_query(text)
+        }
+    )
+    values = ", ".join(f"({q}, '{c}', '{t}')" for q, c, t in rows)
+    return f"""
+WITH {_AUG_CTE},
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM docs_aug
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM toks),
+reg(query_id, clause, term) AS (VALUES {values}),
+req AS (
+  SELECT query_id,
+         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_must
+  FROM reg GROUP BY query_id
+),
+m AS (
+  SELECT r.query_id, d.doc_id,
+         count(DISTINCT CASE WHEN r.clause = 'must' THEN r.term END) AS n_have_must,
+         count(DISTINCT CASE WHEN r.clause = 'should' THEN r.term END) AS n_have_should,
+         bool_or(r.clause = 'must_not') AS any_not
+  FROM reg r JOIN dterm d ON d.term = r.term
+  GROUP BY r.query_id, d.doc_id
+)
+SELECT m.doc_id, m.query_id
+FROM m JOIN req ON req.query_id = m.query_id
+WHERE m.n_have_must = req.n_must
+  AND NOT m.any_not
+  AND (req.n_must > 0 OR m.n_have_should >= 1)
+"""
+
+
+SQL_PERCOLATE = _percolate_sql()
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -2543,6 +2865,11 @@ def base_queries() -> dict:
         "wildcard_topk": q_wildcard_topk,
         "bool_topk": q_bool_topk,
         "bool_topk_msm": q_bool_topk_msm,
+        "collapse_topk": q_collapse_topk,
+        "function_score_topk": q_function_score_topk,
+        "boosting_topk": q_boosting_topk,
+        "rescore_topk": q_rescore_topk,
+        "percolate": q_percolate,
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
         "bm25f_topk": q_bm25f_topk,
@@ -2590,6 +2917,11 @@ def base_oracles() -> dict:
         "wildcard_topk": SQL_WILDCARD_TOPK,
         "bool_topk": SQL_BOOL_TOPK,
         "bool_topk_msm": SQL_BOOL_TOPK_MSM,
+        "collapse_topk": SQL_COLLAPSE_TOPK,
+        "function_score_topk": SQL_FUNCTION_SCORE_TOPK,
+        "boosting_topk": SQL_BOOSTING_TOPK,
+        "rescore_topk": SQL_RESCORE_TOPK,
+        "percolate": SQL_PERCOLATE,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,
         "bm25f_topk": SQL_BM25F_TOPK,

@@ -1,0 +1,90 @@
+"""Percolation: reverse search — match a registered query set against docs.
+
+The reference only searches docs by ad-hoc queries
+(``/root/reference/src/neural_search/api/search.py:21-135``); the percolator
+is the fulltext-index inverse (Elasticsearch percolate query): store the
+queries, stream the documents, emit (doc, query) match pairs — the shape
+behind alerting, saved searches, and routing webtext to topic feeds.
+
+Match semantics per registered boolean query (Lucene BooleanQuery over the
+``+must -must_not should`` clause table from ``boolean.parse_bool_query``):
+
+* every must term present,
+* no must_not term present,
+* if the query has NO must clause, at least one should term present
+  (Lucene's implicit minimum_should_match=1 for pure-should queries).
+
+Spark-first shape: the registered-query clause table is tiny and broadcasts
+into one join against doc_terms; all three conditions reduce on the same
+(query_id, doc_id) aggregation grain — one shuffle for the entire corpus x
+query-set product, no per-query loop. Registered queries scale past
+broadcast size by bucketing the clause table on term, but a percolator set
+is query-cardinality (thousands), so broadcast is the right default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.stats import BM25Index
+
+
+def registered_queries_df(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, clause, term) clause table from [(query_id, text)].
+
+    Distinct per (query, clause, term): percolation is boolean — repeated
+    occurrences in the registered text don't change the match.
+    """
+    from .boolean import parse_bool_query
+
+    rows = sorted(
+        {
+            (qid, clause, term)
+            for qid, text in queries
+            for clause, term in parse_bool_query(text)
+        }
+    )
+    return spark.createDataFrame(rows, "query_id int, clause string, term string")
+
+
+def percolate(
+    index: BM25Index,
+    registered: DataFrame,
+) -> DataFrame:
+    """(doc_id, query_id) pairs: which registered queries match each doc.
+
+    ``registered`` is the (query_id, clause, term) clause table
+    (``registered_queries_df``). One broadcast join + one groupBy decides
+    every clause count; the per-query requirement row (n_must, n_should>0)
+    joins broadcast on query_id.
+    """
+    req = registered.groupBy("query_id").agg(
+        F.count_distinct(F.when(F.col("clause") == "must", F.col("term"))).alias(
+            "n_must"
+        ),
+        F.count_distinct(F.when(F.col("clause") == "should", F.col("term"))).alias(
+            "n_should_total"
+        ),
+    )
+    matched = index.doc_terms.select("doc_id", "term").join(
+        F.broadcast(registered), "term"
+    )
+    counts = matched.groupBy("query_id", "doc_id").agg(
+        F.count_distinct(F.when(F.col("clause") == "must", F.col("term"))).alias(
+            "n_have_must"
+        ),
+        F.count_distinct(F.when(F.col("clause") == "should", F.col("term"))).alias(
+            "n_have_should"
+        ),
+        F.max(F.when(F.col("clause") == "must_not", F.lit(True))).alias("any_not"),
+    )
+    return (
+        counts.join(F.broadcast(req), "query_id")
+        .where(
+            (F.col("n_have_must") == F.col("n_must"))
+            & F.coalesce(~F.col("any_not"), F.lit(True))
+            & ((F.col("n_must") > 0) | (F.col("n_have_should") >= 1))
+        )
+        .select("doc_id", "query_id")
+    )
