@@ -193,12 +193,19 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 q_term_suggest,
             )
 
+            from neural_search_spark.plans.driver_entry import (
+                q_collapse_topk,
+                q_percolate,
+            )
+
             for name, fn in {
                 "phrase_topk": q_phrase_topk,
                 "more_like_this": q_more_like_this,
                 "term_suggest": q_term_suggest,
                 "prefix_topk": q_prefix_topk,
                 "bool_topk": q_bool_topk,
+                "collapse_topk": q_collapse_topk,
+                "percolate": q_percolate,
             }.items():
                 t0 = time.time()
                 fn(spark, sf_dir).count()

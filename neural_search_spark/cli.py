@@ -388,6 +388,7 @@ def cmd_serve(args) -> int:
                 allowed = req.get("filter_ids")
                 use_bool = bool(req.get("bool"))
                 msm = int(req.get("minimum_should_match", 0))
+                collapse = int(req.get("collapse_hosts", 0))
                 offset = int(req.get("offset", 0))
                 sa = req.get("search_after")
                 search_after = (
@@ -403,6 +404,7 @@ def cmd_serve(args) -> int:
         else:
             use_bool = False
             msm = 0
+            collapse = 0
             offset = 0
             search_after = None
             hydrate = False
@@ -410,6 +412,9 @@ def cmd_serve(args) -> int:
         t0 = time.perf_counter()
         if use_bool and not hasattr(reader, "query_bool"):
             print(json.dumps({"error": "bool not supported on a multi-partition replica"}), flush=True)
+            continue
+        if collapse and not hasattr(reader, "_hosts_for"):
+            print(json.dumps({"error": "collapse_hosts not supported on a multi-partition replica"}), flush=True)
             continue
         if hydrate and not hasattr(reader, "hydrate"):
             print(json.dumps({"error": "hydrate not supported on a multi-partition replica"}), flush=True)
@@ -424,9 +429,11 @@ def cmd_serve(args) -> int:
                 min_should_match=msm,
             )
         else:
+            extra = {"collapse_hosts": collapse} if collapse else {}
             hits = reader.query(
                 text, top_k=top_k, positive_only=not args.match_all,
                 allowed_docs=allowed, offset=offset, search_after=search_after,
+                **extra,
             )
         ms = (time.perf_counter() - t0) * 1000
         hit_rows = [{"doc_id": d, "score": s} for d, s in hits]

@@ -2573,6 +2573,64 @@ SELECT query_id, rank, doc_id, source, score FROM ranked WHERE rank <= top_k
 """
 
 
+def q_collapse_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host collapsing on the SERVING replica under the oracle: build the
+    physical index with urls whose host encodes ``source``
+    (https://<source>.example/<doc_id>), then
+    ``IndexReader.query(collapse_hosts=1, score_rounding=4)`` — every rank
+    AND collapse decision is made on HALF_UP-rounded scores, so the DuckDB
+    oracle (same collapse SQL keyed on source) reproduces it exactly."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.serve import IndexReader
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/"),
+                 F.col("doc_id")),
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_collapse_")
+    build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+    )
+    reader = IndexReader(out_dir)
+    rows = []
+    for qid, text, k in ENTRY_QUERIES:
+        hits = reader.query(
+            text, top_k=k, positive_only=False,
+            score_rounding=4, collapse_hosts=1,
+        )
+        for rank, (doc_id, score) in enumerate(hits, start=1):
+            rows.append((qid, rank, doc_id, score))
+    return spark.createDataFrame(
+        rows, "query_id int, rank long, doc_id long, score double"
+    )
+
+
+SQL_COLLAPSE_TOPK_SERVE = f"""
+WITH {_scored_prefix(ENTRY_QUERIES)},
+keyed AS (
+  SELECT s.query_id, s.top_k, s.doc_id, round(s.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.source
+           ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+         ) AS kr
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM keyed WHERE kr <= 1
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES function_score / field_value_factor (``rescore.py``):
     final = bm25 * round(ln(1 + n_chars), 6) — a length prior folded into
@@ -2866,6 +2924,7 @@ def base_queries() -> dict:
         "bool_topk": q_bool_topk,
         "bool_topk_msm": q_bool_topk_msm,
         "collapse_topk": q_collapse_topk,
+        "collapse_topk_serve": q_collapse_topk_serve,
         "function_score_topk": q_function_score_topk,
         "boosting_topk": q_boosting_topk,
         "rescore_topk": q_rescore_topk,
@@ -2918,6 +2977,7 @@ def base_oracles() -> dict:
         "bool_topk": SQL_BOOL_TOPK,
         "bool_topk_msm": SQL_BOOL_TOPK_MSM,
         "collapse_topk": SQL_COLLAPSE_TOPK,
+        "collapse_topk_serve": SQL_COLLAPSE_TOPK_SERVE,
         "function_score_topk": SQL_FUNCTION_SCORE_TOPK,
         "boosting_topk": SQL_BOOSTING_TOPK,
         "rescore_topk": SQL_RESCORE_TOPK,

@@ -79,6 +79,7 @@ def _levenshtein(s: str, t: str) -> int:
 @dataclass
 class _ShardState:
     doc_len: np.ndarray  # dense doc_len array indexed by local doc id
+    host: np.ndarray | None = None  # dense url-host array, loaded lazily
 
 
 @dataclass
@@ -145,6 +146,40 @@ class IndexReader:
             st = _ShardState(doc_len=dl)
             self._shards[shard] = st
         return st
+
+    def _hosts_for(self, ids: np.ndarray) -> np.ndarray:
+        """URL host per doc_id (same extraction rule as
+        ``functions/urls.py:RE_HOST``; non-URL ids get ''), via lazily
+        cached dense per-shard host arrays from the docmap."""
+        import re
+
+        import pyarrow.parquet as pq
+
+        from ..functions.urls import RE_HOST
+
+        host_re = re.compile(RE_HOST)
+        span = self.docs_per_shard
+        out = np.empty(ids.shape, dtype=object)
+        for shard in np.unique(ids // span):
+            st = self._shard_state(int(shard))
+            if st.host is None:
+                t = pq.read_table(
+                    os.path.join(self.root, "docmap", f"shard={int(shard)}"),
+                    columns=["doc_id", "url"],
+                )
+                dense = np.full(span, "", dtype=object)
+                local = (
+                    np.asarray(t.column("doc_id"), dtype=np.int64) - shard * span
+                )
+                hosts = [
+                    (m.group(1) if (m := host_re.match(u or "")) else "")
+                    for u in t.column("url").to_pylist()
+                ]
+                dense[local] = hosts
+                st.host = dense
+            sel = ids // span == shard
+            out[sel] = st.host[ids[sel] - shard * span]
+        return out
 
     def _postings_for(self, terms: list[str]) -> dict:
         """term -> [(shard, doc_ids, tfs)] (shards ascending), decoded.
@@ -554,8 +589,17 @@ class IndexReader:
         allowed_docs=None,
         offset: int = 0,
         search_after: tuple[float, int] | None = None,
+        collapse_hosts: int = 0,
     ) -> list[tuple[int, float]]:
         """[(doc_id, score)] — exact BM25 top-k, (score desc, doc_id asc).
+
+        ``collapse_hosts=n`` is ES field collapsing on the URL host (the
+        webtext "at most n results per domain" policy): at most n docs per
+        host survive, chosen best-first in the same total order, BEFORE
+        pagination — so offset / search_after page through the collapsed
+        sequence. Same semantics as the cluster op
+        ``query/rescore.py:collapse_topk`` keyed on the parsed host
+        (parity pinned in tests/test_serve.py).
 
         ``offset`` paginates: ranks offset+1 .. offset+top_k of the SAME
         deterministic total order (page 2 of a query is stable across
@@ -606,6 +650,8 @@ class IndexReader:
                 fkey["offset"] = offset
             if search_after is not None:
                 fkey["after"] = f"{search_after[0]!r}:{int(search_after[1])}"
+            if collapse_hosts:
+                fkey["collapse"] = collapse_hosts
             skey = TtlLruCache.make_search_key(
                 text, top_k, positive_only, self.snapshot,
                 filters=fkey or None,
@@ -629,6 +675,7 @@ class IndexReader:
             self._score(
                 qterms, top_k, positive_only, score_rounding, allowed,
                 offset=offset, search_after=search_after,
+                collapse_hosts=collapse_hosts,
             )
             if qterms
             else []
@@ -816,6 +863,7 @@ class IndexReader:
         offset: int = 0,
         search_after: tuple[float, int] | None = None,
         avgdl_override: float | None = None,
+        collapse_hosts: int = 0,
     ) -> list[tuple[int, float]]:
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         # override = scatter-gather mode (MultiReader): GLOBAL avgdl with
@@ -873,6 +921,20 @@ class IndexReader:
                 return []
         if score_rounding is not None:
             scores = round_half_up(scores, score_rounding)
+        if collapse_hosts:
+            # sort once into the final (score desc, id asc) order, then keep
+            # the first `collapse_hosts` rows of each host — vectorized
+            # per-group cumcount, no Python loop over candidates
+            order = np.lexsort((ids, -scores))
+            ids, scores = ids[order], scores[order]
+            inv = np.unique(self._hosts_for(ids), return_inverse=True)[1]
+            counts = np.bincount(inv)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            gorder = np.argsort(inv, kind="stable")
+            pos = np.empty(inv.size, dtype=np.int64)
+            pos[gorder] = np.arange(inv.size) - np.repeat(starts, counts)
+            keep = pos < collapse_hosts
+            ids, scores = ids[keep], scores[keep]
         if search_after is not None:
             # cursor = the (score, doc_id) of the last hit the client saw, in
             # the representation this reader emits (post-rounding): keep only
@@ -883,6 +945,10 @@ class IndexReader:
             ids, scores = ids[keep], scores[keep]
             if ids.size == 0:
                 return []
+        if collapse_hosts:
+            # already in final order (masks preserve it); just paginate
+            sl = slice(offset, offset + top_k)
+            return [(int(d), float(s)) for d, s in zip(ids[sl], scores[sl])]
         sel = np.lexsort((ids, -scores))
         sel = sel[offset : offset + top_k]
         return [(int(ids[i]), float(scores[i])) for i in sel]

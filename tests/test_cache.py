@@ -329,6 +329,30 @@ def test_cli_serve_bool_request(idx_dir):
     assert len(expect_msm) > 0
 
 
+def test_cli_serve_collapse_request(idx_dir):
+    """A {"collapse_hosts": n} line collapses results per URL host."""
+    import json
+    import subprocess
+    import sys
+
+    req = json.dumps(
+        {"query": "w0005 w0010", "top_k": 8, "collapse_hosts": 1}
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--match-all"],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[0])
+    expect = IndexReader(idx_dir).query(
+        "w0005 w0010", top_k=8, positive_only=False, collapse_hosts=1
+    )
+    assert [(h["doc_id"], h["score"]) for h in out["hits"]] == expect
+    assert len(expect) > 0
+
+
 def test_cli_serve_search_after_cursor(idx_dir):
     """The serve loop's {"search_after": [score, doc_id]} request returns the
     next page of the same total order (tiles with offset paging)."""

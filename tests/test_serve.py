@@ -199,6 +199,56 @@ def test_reader_query_bool_matches_cluster_op(spark, served):
             assert gs == pytest.approx(es, abs=1e-9)
 
 
+def test_reader_collapse_hosts_matches_cluster_op(spark, served):
+    """Replica host collapsing == cluster collapse_topk keyed on the parsed
+    url host: same docs, order, scores; pagination tiles the collapsed
+    sequence."""
+    from neural_search_spark.functions.urls import url_parse
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.rescore import collapse_topk
+
+    index, reader = served
+    corpus = assign_doc_ids(
+        index.docmap.sparkSession.read.parquet(
+            reader.root.rsplit("/idx", 1)[0] + "/corpus"
+        )
+    )
+    idx = build_logical_index(corpus, persist=True)
+    hosts = url_parse(corpus).select("doc_id", "host")
+    for text, per_key in [("w0005 w0010", 1), ("w0000 w0002 w0007", 2)]:
+        q = spark.createDataFrame(
+            [(0, text, 50)], "query_id int, query_text string, top_k int"
+        )
+        expect = [
+            (r["doc_id"], r["score"])
+            for r in collapse_topk(
+                idx, q, hosts, "host", per_key=per_key, positive_only=False
+            ).orderBy("rank").collect()
+        ]
+        got = reader.query(
+            text, top_k=50, positive_only=False, collapse_hosts=per_key
+        )
+        assert [d for d, _ in got] == [d for d, _ in expect], (text, per_key)
+        for (_, gs), (_, es) in zip(got, expect):
+            assert gs == pytest.approx(es, abs=1e-9)
+    # at most per_key docs per host, strictly fewer rows than uncollapsed
+    flat = reader.query("w0005 w0010", top_k=400, positive_only=False)
+    c1 = reader.query("w0005 w0010", top_k=400, positive_only=False,
+                      collapse_hosts=1)
+    assert len(c1) < len(flat)
+    # pagination tiles the COLLAPSED sequence
+    p0 = reader.query("w0005 w0010", top_k=5, positive_only=False,
+                      collapse_hosts=1)
+    p1 = reader.query("w0005 w0010", top_k=5, positive_only=False,
+                      collapse_hosts=1, offset=5)
+    assert p0 + p1 == c1[:10]
+    cur = (p0[-1][1], p0[-1][0])  # (score, doc_id) of last hit
+    pa = reader.query("w0005 w0010", top_k=5, positive_only=False,
+                      collapse_hosts=1, search_after=cur)
+    assert pa == p1
+
+
 def test_reader_query_bool_min_should_match_matches_cluster(spark, served):
     """Replica msm == cluster op msm: same docs, order, scores; strictly
     fewer docs than the unconstrained query; n > distinct shoulds -> []."""
