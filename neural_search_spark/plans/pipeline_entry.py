@@ -594,6 +594,66 @@ SELECT doc_id,
 FROM c
 """
 
+_BUDGET_TOKENS = 50_000
+
+
+def q_select_token_budget(spark, sf_dir):
+    """Token-budget curation (``operators/curation.py``): best-quality docs
+    filling a 50k-token budget, 2-pass histogram split (no global sort)."""
+    from ..operators.curation import select_token_budget
+
+    docs = _docs(spark, sf_dir)
+    scored = TA.quality_score(docs).join(
+        TA.token_profile(docs).select("doc_id", "n_tokens"), "doc_id"
+    )
+    sel = select_token_budget(scored, _BUDGET_TOKENS, precision=3)
+    return sel.select(
+        F.col("doc_id").cast("long"),
+        "quality",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+# the oracle states the CONTRACT form — one running-total window over the
+# (quality desc, doc_id) order — which the two-pass histogram implementation
+# must reproduce exactly
+SQL_SELECT_TOKEN_BUDGET = f"""
+WITH {_TOKS},
+c AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> strlen(x))) * 1.0 / len(t)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN strlen(text) > 0
+              THEN strlen(regexp_replace(lower(text), '[^a-z0-9_]', '', 'g')) * 1.0
+                   / strlen(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> list_contains([{_SW_EN}], x))) * 1.0 / len(t)
+              ELSE 0.0 END AS stop_ratio
+  FROM tok_arr
+),
+scored AS (
+  SELECT doc_id,
+         round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least(alpha_ratio / 0.8, 1.0)
+             + 0.2 * least(stop_ratio / 0.3, 1.0), 3) AS quality,
+         n_tok AS n_tokens
+  FROM c
+),
+cum AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+         ) AS running
+  FROM scored
+)
+SELECT doc_id, quality, n_tokens FROM cum WHERE running <= {_BUDGET_TOKENS}
+"""
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, ws in sorted(TA.STOPWORDS.items()) for w in ws
 )
@@ -1556,6 +1616,7 @@ def pipeline_queries() -> dict:
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_token_profile": q_text_token_profile,
         "text_quality": q_text_quality,
+        "select_token_budget": q_select_token_budget,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
@@ -1590,6 +1651,7 @@ def pipeline_oracles() -> dict:
         "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_LSH,
         "text_token_profile": SQL_TEXT_TOKEN_PROFILE,
         "text_quality": SQL_TEXT_QUALITY,
+        "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,
@@ -1619,6 +1681,7 @@ def bench_queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_brute": q_ann_topk_brute,
         "text_quality": q_text_quality,
+        "select_token_budget": q_select_token_budget,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
         "text_perplexity": q_text_perplexity,
