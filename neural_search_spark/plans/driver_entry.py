@@ -2846,6 +2846,19 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row array-ops percolator (the streaming/alerting form,
+    ``percolate.py:percolate_stateless``) under the SAME oracle as the
+    grouped form — two independent implementations, one contract."""
+    from ..query.percolate import percolate_stateless, registered_clause_arrays
+
+    reg = registered_clause_arrays(spark, ENTRY_PERCOLATE)
+    return percolate_stateless(_aug_docs(spark, sf_dir), reg).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("query_id").cast("long").alias("query_id"),
+    )
+
+
 def _percolate_sql() -> str:
     from ..query.boolean import parse_bool_query
 
@@ -2929,6 +2942,7 @@ def base_queries() -> dict:
         "boosting_topk": q_boosting_topk,
         "rescore_topk": q_rescore_topk,
         "percolate": q_percolate,
+        "percolate_stateless": q_percolate_stateless,
         "bm25_topk_syn": q_bm25_topk_syn,
         "bm25_explain": q_bm25_explain,
         "bm25f_topk": q_bm25f_topk,
@@ -2982,6 +2996,7 @@ def base_oracles() -> dict:
         "boosting_topk": SQL_BOOSTING_TOPK,
         "rescore_topk": SQL_RESCORE_TOPK,
         "percolate": SQL_PERCOLATE,
+        "percolate_stateless": SQL_PERCOLATE,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
         "bm25_explain": SQL_BM25_EXPLAIN,
         "bm25f_topk": SQL_BM25F_TOPK,

@@ -30,6 +30,62 @@ from pyspark.sql import functions as F
 from ..index.stats import BM25Index
 
 
+def registered_clause_arrays(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, must, must_not, should): one row per registered query,
+    clause terms as sorted distinct arrays — the broadcast-friendly form the
+    stateless evaluator consumes."""
+    from .boolean import parse_bool_query
+
+    rows = []
+    for qid, text in queries:
+        by_clause: dict[str, set] = {"must": set(), "must_not": set(), "should": set()}
+        for clause, term in parse_bool_query(text):
+            by_clause[clause].add(term)
+        rows.append(
+            (
+                qid,
+                sorted(by_clause["must"]),
+                sorted(by_clause["must_not"]),
+                sorted(by_clause["should"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id int, must array<string>, must_not array<string>, "
+        "should array<string>",
+    )
+
+
+def percolate_stateless(
+    docs: DataFrame,
+    registered: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, query_id) matches, evaluated PER ROW with array expressions —
+    no aggregation, no shuffle beyond the broadcast: each doc row crosses
+    the (tiny) registered set and three codegen'd array predicates decide
+    the match. Because the plan is stateless, it runs unchanged under
+    Structured Streaming in append mode (the alerting shape: readStream of
+    docs -> matched saved searches -> sink), where the grouped ``percolate``
+    form would need an aggregation state store.
+
+    Same match semantics as ``percolate`` (equivalence pinned in tests):
+    every must term present, no must_not term, >=1 should term when the
+    query has no must clause.
+    """
+    from ..functions.tokenize import tokenize_udf
+
+    terms = F.array_distinct(tokenize_udf(F.col(text_col)))
+    base = docs.select(F.col(id_col).alias("doc_id"), terms.alias("_terms"))
+    joined = base.crossJoin(F.broadcast(registered))
+    has = lambda t: F.array_contains(F.col("_terms"), t)  # noqa: E731
+    ok_must = F.forall("must", has)
+    ok_not = ~F.exists("must_not", has)
+    ok_should = (F.size("must") > 0) | F.exists("should", has)
+    return joined.where(ok_must & ok_not & ok_should).select("doc_id", "query_id")
+
+
 def registered_queries_df(spark, queries: list[tuple[int, str]]) -> DataFrame:
     """(query_id, clause, term) clause table from [(query_id, text)].
 

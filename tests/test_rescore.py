@@ -227,3 +227,51 @@ def test_percolate_plan_broadcasts_registered(spark, shaped):
     registered = registered_queries_df(spark, [(0, "+zebra quark")])
     plan = percolate(idx, registered)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_percolate_stateless_matches_grouped(spark, shaped):
+    """The per-row array-ops evaluator (the streaming form) returns exactly
+    the grouped percolate's matches."""
+    from neural_search_spark.query.percolate import (
+        percolate_stateless,
+        registered_clause_arrays,
+    )
+
+    docs, idx = shaped
+    queries = [
+        (0, "+zebra +quark"),
+        (1, "zebra -data"),
+        (2, "quark data"),
+        (3, "+nosuchterm zebra"),
+        (4, "+filler"),
+        (5, "-zebra -quark words"),
+    ]
+    grouped = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(idx, registered_queries_df(spark, queries)).collect()
+    }
+    stateless = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate_stateless(
+            docs, registered_clause_arrays(spark, queries)
+        ).collect()
+    }
+    assert stateless == grouped and grouped
+
+
+def test_percolate_stateless_plan_is_aggregation_free(spark, shaped):
+    """No aggregate/exchange beyond the broadcast — the property that makes
+    the plan legal in streaming append mode."""
+    from neural_search_spark.query.percolate import (
+        percolate_stateless,
+        registered_clause_arrays,
+    )
+
+    docs, _ = shaped
+    reg = registered_clause_arrays(spark, [(0, "+zebra quark")])
+    plan = (
+        percolate_stateless(docs, reg)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan

@@ -191,3 +191,51 @@ def test_continuous_rollup_matches_raw(spark, tmp_path):
         .collect()
     }
     assert got_d == want_d
+
+
+def test_streaming_percolation_matches_batch(spark, tmp_path):
+    """Saved-search alerting: a doc file-stream through the stateless
+    percolator (append mode, no state store) emits exactly the batch
+    matches. url stands in for doc identity."""
+    from neural_search_spark.query.percolate import (
+        percolate_stateless,
+        registered_clause_arrays,
+    )
+    from neural_search_spark.streaming.ingest import CORPUS_SCHEMA, stream_corpus
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus_df(spark, n_docs=120, seed=7).repartition(4).write.parquet(corpus_path)
+    queries = [
+        (0, "+w0005 w0010"),
+        (1, "w0003 -w0001"),
+        (2, "+w0000 +w0002"),
+        (3, "+nosuchterm"),
+    ]
+    reg = registered_clause_arrays(spark, queries)
+    matched = percolate_stateless(
+        stream_corpus(spark, corpus_path, max_files_per_trigger=2),
+        reg,
+        id_col="url",
+    )
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("percolate_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM percolate_alerts").collect()
+    }
+    want = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate_stateless(
+            spark.read.parquet(corpus_path), reg, id_col="url"
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    assert not any(qid == 3 for _, qid in want)
