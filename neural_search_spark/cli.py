@@ -235,6 +235,11 @@ def cmd_serve(args) -> int:
         reader = MultiReader([args.index] + args.shards.split(","))
     else:
         reader = IndexReader(args.index, cache=cache, corpus_path=args.corpus)
+    matcher = None
+    if getattr(args, "percolate_queries", None):
+        from .query.percolate import PercolateMatcher
+
+        matcher = PercolateMatcher.from_jsonl(args.percolate_queries)
     for line in sys.stdin:
         text = line.strip()
         if not text:
@@ -362,6 +367,20 @@ def cmd_serve(args) -> int:
                         print(json.dumps({"error": str(e)}), flush=True)
                         continue
                     print(json.dumps(tv), flush=True)
+                    continue
+                if "percolate" in req:
+                    # {"percolate": "<doc text>"} — the ES single-doc
+                    # percolate API: which saved searches match this doc
+                    # (requires serve --percolate-queries FILE.jsonl)
+                    if matcher is None:
+                        print(json.dumps({"error": "no --percolate-queries configured"}), flush=True)
+                        continue
+                    print(
+                        json.dumps(
+                            {"matches": matcher.match(str(req["percolate"]))}
+                        ),
+                        flush=True,
+                    )
                     continue
                 if "suggest" in req and not hasattr(reader, "suggest"):
                     print(json.dumps({"error": "suggest not supported on a multi-partition replica"}), flush=True)
@@ -575,6 +594,11 @@ def main(argv: list[str] | None = None) -> int:
     # behavior, a positive value turns enforcement on per replica
     sv.add_argument("--rate-limit", type=int, default=0, help="max requests per window; 0 = off")
     sv.add_argument("--rate-window", type=float, default=60.0, help="window seconds")
+    sv.add_argument(
+        "--percolate-queries", default=None,
+        help="JSONL of saved searches ({\"query_id\", \"query\"}): enables "
+        "the {\"percolate\": \"<doc text>\"} request form",
+    )
     sv.add_argument(
         "--shards", default=None,
         help="comma-separated additional partial-index dirs: serve scatter-"

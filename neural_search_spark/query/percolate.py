@@ -86,6 +86,60 @@ def percolate_stateless(
     return joined.where(ok_must & ok_not & ok_should).select("doc_id", "query_id")
 
 
+class PercolateMatcher:
+    """Serving-tier percolator: match ONE incoming doc against the
+    registered query set with no Spark in the loop (the ES single-doc
+    ``percolate`` API shape — alerting at ingest time). Same match
+    semantics as ``percolate``/``percolate_stateless``; equivalence is
+    pinned in tests/test_rescore.py.
+    """
+
+    def __init__(self, queries: list[tuple[int, str]]):
+        from .boolean import parse_bool_query
+
+        self.compiled: list[tuple[int, frozenset, frozenset, frozenset]] = []
+        for qid, text in queries:
+            by: dict[str, set] = {"must": set(), "must_not": set(), "should": set()}
+            for clause, term in parse_bool_query(text):
+                by[clause].add(term)
+            self.compiled.append(
+                (
+                    qid,
+                    frozenset(by["must"]),
+                    frozenset(by["must_not"]),
+                    frozenset(by["should"]),
+                )
+            )
+
+    @classmethod
+    def from_jsonl(cls, path: str) -> "PercolateMatcher":
+        """Lines of {"query_id": int, "query": "+must -not should"}."""
+        import json
+
+        queries = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                queries.append((int(rec["query_id"]), str(rec["query"])))
+        return cls(queries)
+
+    def match(self, text: str) -> list[int]:
+        """query_ids (ascending) whose saved search matches this doc."""
+        from ..functions.tokenize import tokenize_py
+
+        terms = set(tokenize_py(text))
+        return sorted(
+            qid
+            for qid, must, must_not, should in self.compiled
+            if must <= terms
+            and not (must_not & terms)
+            and (must or (should & terms))
+        )
+
+
 def registered_queries_df(spark, queries: list[tuple[int, str]]) -> DataFrame:
     """(query_id, clause, term) clause table from [(query_id, text)].
 

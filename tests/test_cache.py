@@ -329,6 +329,35 @@ def test_cli_serve_bool_request(idx_dir):
     assert len(expect_msm) > 0
 
 
+def test_cli_serve_percolate_request(idx_dir, tmp_path):
+    """{"percolate": text} matches saved searches from --percolate-queries."""
+    import json
+    import subprocess
+    import sys
+
+    saved = tmp_path / "saved.jsonl"
+    saved.write_text(
+        "\n".join(
+            json.dumps({"query_id": q, "query": t})
+            for q, t in [(0, "+w0005"), (1, "w0003 -w0001"), (2, "+nosuch")]
+        )
+    )
+    reqs = "\n".join([
+        json.dumps({"percolate": "w0005 and w0003 words"}),
+        json.dumps({"percolate": "w0003 w0001 together"}),
+    ])
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--percolate-queries", str(saved)],
+        input=reqs + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert lines[0]["matches"] == [0, 1]
+    assert lines[1]["matches"] == []  # w0001 excludes query 1
+
+
 def test_cli_serve_collapse_request(idx_dir):
     """A {"collapse_hosts": n} line collapses results per URL host."""
     import json

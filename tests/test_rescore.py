@@ -259,6 +259,45 @@ def test_percolate_stateless_matches_grouped(spark, shaped):
     assert stateless == grouped and grouped
 
 
+def test_percolate_matcher_matches_cluster(spark, shaped):
+    """The serving-tier single-doc matcher agrees with the cluster
+    percolate on every doc of the corpus."""
+    from neural_search_spark.query.percolate import PercolateMatcher
+
+    docs, idx = shaped
+    queries = [
+        (0, "+zebra +quark"),
+        (1, "zebra -data"),
+        (2, "quark data"),
+        (3, "+nosuchterm zebra"),
+        (4, "+filler"),
+    ]
+    grouped: dict[int, set] = {}
+    for r in percolate(idx, registered_queries_df(spark, queries)).collect():
+        grouped.setdefault(r["doc_id"], set()).add(r["query_id"])
+    matcher = PercolateMatcher(queries)
+    for row in docs.collect():
+        assert set(matcher.match(row["text"])) == grouped.get(row["doc_id"], set())
+
+
+def test_percolate_matcher_from_jsonl(tmp_path):
+    import json
+
+    from neural_search_spark.query.percolate import PercolateMatcher
+
+    p = tmp_path / "saved.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps({"query_id": q, "query": t})
+            for q, t in [(0, "+zebra"), (1, "quark -zebra")]
+        )
+    )
+    m = PercolateMatcher.from_jsonl(str(p))
+    assert m.match("zebra quark here") == [0]
+    assert m.match("quark only") == [1]
+    assert m.match("nothing relevant") == []
+
+
 def test_percolate_stateless_plan_is_aggregation_free(spark, shaped):
     """No aggregate/exchange beyond the broadcast — the property that makes
     the plan legal in streaming append mode."""
