@@ -382,6 +382,31 @@ def cmd_serve(args) -> int:
                         flush=True,
                     )
                     continue
+                if "more_like_this" in req:
+                    # {"more_like_this": doc_id, "m"?: int, "top_k"?: int} —
+                    # find docs similar to an indexed doc (Lucene MLT);
+                    # term vector comes from the index itself
+                    if not hasattr(reader, "more_like_this"):
+                        print(json.dumps({"error": "more_like_this not supported on a multi-partition replica"}), flush=True)
+                        continue
+                    hits = reader.more_like_this(
+                        int(req["more_like_this"]),
+                        m=int(req.get("m", 10)),
+                        top_k=int(req.get("top_k", args.top_k)),
+                        positive_only=not args.match_all,
+                    )
+                    print(
+                        json.dumps(
+                            {
+                                "more_like_this": int(req["more_like_this"]),
+                                "hits": [
+                                    {"doc_id": d, "score": s} for d, s in hits
+                                ],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    continue
                 if "suggest" in req and not hasattr(reader, "suggest"):
                     print(json.dumps({"error": "suggest not supported on a multi-partition replica"}), flush=True)
                     continue

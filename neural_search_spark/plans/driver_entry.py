@@ -1681,6 +1681,37 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(idx, src, m=_MLT_M, k=_MLT_K, positive_only=False)
 
 
+def q_more_like_this_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving replica's MLT (``serve.py:IndexReader.more_like_this``,
+    term vector recovered from the posting blocks) under the SAME oracle as
+    the cluster operator — two implementations, one contract."""
+    import tempfile
+
+    from ..config import IndexLayout
+    from ..index.build import build_index
+    from ..query.serve import IndexReader
+
+    docs = _aug_docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="nss_entry_mlt_serve_")
+    build_index(
+        docs, out_dir, id_col="doc_id",
+        layout=IndexLayout(docs_per_shard=128, block_size=32), n_buckets=8,
+    )
+    reader = IndexReader(out_dir)
+    rows = []
+    for src in ENTRY_MLT_SOURCES:
+        hits = reader.more_like_this(
+            src, m=_MLT_M, top_k=_MLT_K, positive_only=False,
+        )
+        for rank, (doc_id, score) in enumerate(hits, start=1):
+            rows.append((src, rank, doc_id, score))
+    return spark.createDataFrame(
+        rows, "src_id int, rank long, doc_id long, score double"
+    )
+
+
 SQL_MORE_LIKE_THIS = f"""
 WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
 src(src_id) AS (VALUES {", ".join(f"({s})" for s in ENTRY_MLT_SOURCES)}),
@@ -2931,6 +2962,7 @@ def base_queries() -> dict:
         "significant_terms": q_significant_terms,
         "merge_equivalence": q_merge_equivalence,
         "more_like_this": q_more_like_this,
+        "more_like_this_serve": q_more_like_this_serve,
         "term_suggest": q_term_suggest,
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
@@ -2985,6 +3017,7 @@ def base_oracles() -> dict:
         "significant_terms": SQL_SIGNIFICANT_TERMS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
         "more_like_this": SQL_MORE_LIKE_THIS,
+        "more_like_this_serve": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,
         "prefix_topk": SQL_PREFIX_TOPK,
         "wildcard_topk": SQL_WILDCARD_TOPK,

@@ -547,6 +547,40 @@ class IndexReader:
             out[d] = rec
         return out
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        m: int = 10,
+        top_k: int = 10,
+        positive_only: bool = False,
+        score_rounding: int | None = 4,
+    ) -> list[tuple[int, float]]:
+        """Serving twin of ``query/mlt.py:more_like_this`` (parity pinned in
+        tests/test_serve.py): select the source doc's top-m terms by
+        HALF_UP-rounded tf*idf (ties by term), run them as a one-occurrence
+        BM25 bag, exclude the source. The term vector comes from the index
+        itself (one shard read); scores rank on 4dp-rounded values by
+        default — the cluster operator's contract."""
+        tv = self.term_vector(int(doc_id))["terms"]
+        if not tv:
+            return []
+        terms = sorted(tv)
+        weights = round_half_up(
+            np.array([float(tv[t]) * self.idf.get(t, 0.0) for t in terms]), 4
+        )
+        order = sorted(range(len(terms)), key=lambda i: (-weights[i], terms[i]))
+        qterms = {
+            t: (1, self.idf[t])
+            for t in (terms[i] for i in order[:m])
+            if t in self.idf
+        }
+        if not qterms:
+            return []
+        return self._score(
+            qterms, top_k, positive_only, score_rounding, None,
+            excluded=np.array([int(doc_id)], dtype=np.int64),
+        )
+
     # -- suggestion ---------------------------------------------------------
 
     def suggest(

@@ -329,6 +329,26 @@ def test_cli_serve_bool_request(idx_dir):
     assert len(expect_msm) > 0
 
 
+def test_cli_serve_more_like_this_request(idx_dir):
+    """{"more_like_this": doc_id} returns the replica MLT hits."""
+    import json
+    import subprocess
+    import sys
+
+    req = json.dumps({"more_like_this": 5, "m": 8, "top_k": 6})
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir, "--match-all"],
+        input=req + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.strip().splitlines()[0])
+    expect = IndexReader(idx_dir).more_like_this(5, m=8, top_k=6, positive_only=False)
+    assert [(h["doc_id"], h["score"]) for h in out["hits"]] == expect
+    assert len(expect) > 0 and 5 not in [h["doc_id"] for h in out["hits"]]
+
+
 def test_cli_serve_percolate_request(idx_dir, tmp_path):
     """{"percolate": text} matches saved searches from --percolate-queries."""
     import json

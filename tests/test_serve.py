@@ -199,6 +199,36 @@ def test_reader_query_bool_matches_cluster_op(spark, served):
             assert gs == pytest.approx(es, abs=1e-9)
 
 
+def test_reader_more_like_this_matches_cluster_op(spark, served):
+    """Replica MLT == cluster more_like_this: same term selection, same
+    docs, same 4dp-rounded scores, source excluded."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.mlt import more_like_this
+
+    index, reader = served
+    corpus = assign_doc_ids(
+        index.docmap.sparkSession.read.parquet(
+            reader.root.rsplit("/idx", 1)[0] + "/corpus"
+        )
+    )
+    idx = build_logical_index(corpus, persist=True)
+    src_ids = [0, 17, 233]
+    src = corpus.sparkSession.createDataFrame([(d,) for d in src_ids], "src_id long")
+    expect: dict[int, list] = {d: [] for d in src_ids}
+    for r in more_like_this(idx, src, m=8, k=12).orderBy("src_id", "rank").collect():
+        expect[r["src_id"]].append((r["doc_id"], r["score"]))
+    for d in src_ids:
+        got = reader.more_like_this(d, m=8, top_k=12)
+        assert [x for x, _ in got] == [x for x, _ in expect[d]], d
+        for (_, gs), (_, es) in zip(got, expect[d]):
+            assert gs == pytest.approx(es, abs=1e-9)
+        assert d not in [x for x, _ in got]
+        assert len(got) > 0
+    # unknown doc -> empty
+    assert reader.more_like_this(10_000_000) == []
+
+
 def test_reader_collapse_hosts_matches_cluster_op(spark, served):
     """Replica host collapsing == cluster collapse_topk keyed on the parsed
     url host: same docs, order, scores; pagination tiles the collapsed
