@@ -2851,6 +2851,76 @@ FROM ranked WHERE rank <= least(top_k, {_RESCORE_WINDOW})
 SQL_RESCORE_TOPK = _rescore_sql()
 
 
+# DSL: three request forms (flat match, bool+minimum_should_match,
+# function_score) compiled by query/dsl.py and unioned with a req_id; the
+# oracle is the UNION ALL of the per-request SQL. Proves the compiler maps
+# each form onto the exact dedicated-operator semantics.
+_DSL_REQUESTS: list[dict] = [
+    {"query": {"match": {"query": "window merge table"}}, "top_k": 8},
+    {"query": {"bool": {"must": ["zq1"], "should": ["window", "merge"],
+                        "minimum_should_match": 1}}, "top_k": 8},
+    {"query": {"match": {"query": "window"}},
+     "function_score": {"field": "n_chars"}, "top_k": 8},
+]
+
+
+def q_dsl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON query DSL (``query/dsl.py``) end-to-end: each request
+    compiles onto the operator library; results union with a req_id."""
+    from ..query.dsl import search_dsl
+
+    docs = _aug_docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    out = None
+    for i, req in enumerate(_DSL_REQUESTS):
+        r = search_dsl(
+            idx, req, docs=docs, positive_only=False, round_to=4
+        ).select(
+            F.lit(i).cast("long").alias("req_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _dsl_sql() -> str:
+    sql_flat = _bm25_sql(
+        "SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k",
+        positive_only=False, src="docs_aug",
+        queries=[(0, "window merge table", 8)],
+        prefix_cte=_AUG_CTE + ",",
+    )
+    sql_bool = _bool_sql(queries=[(0, "+zq1 window merge", 8)], msm=1)
+    sql_fscore = f"""
+WITH {_AUG_CTE},{_scored_prefix([(0, "window", 8)], src="docs_aug")},
+combined AS (
+  SELECT s.query_id, s.top_k, s.doc_id,
+         round(s.score * round(ln(1.0 + d.n_chars), 6), 4) AS score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM combined
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+    return f"""
+SELECT 0 AS req_id, rank, doc_id, score FROM ({sql_flat})
+UNION ALL
+SELECT 1 AS req_id, rank, doc_id, score FROM ({sql_bool})
+UNION ALL
+SELECT 2 AS req_id, rank, doc_id, score FROM ({sql_fscore})
+"""
+
+
+SQL_DSL_TOPK = _dsl_sql()
+
+
 # percolation: saved searches matched against the augmented corpus. Mixes
 # must-pairs, should+exclusion, pure should, an unknown must (matches
 # nothing), and a rare-only must.
@@ -2973,6 +3043,7 @@ def base_queries() -> dict:
         "function_score_topk": q_function_score_topk,
         "boosting_topk": q_boosting_topk,
         "rescore_topk": q_rescore_topk,
+        "dsl_topk": q_dsl_topk,
         "percolate": q_percolate,
         "percolate_stateless": q_percolate_stateless,
         "bm25_topk_syn": q_bm25_topk_syn,
@@ -3028,6 +3099,7 @@ def base_oracles() -> dict:
         "function_score_topk": SQL_FUNCTION_SCORE_TOPK,
         "boosting_topk": SQL_BOOSTING_TOPK,
         "rescore_topk": SQL_RESCORE_TOPK,
+        "dsl_topk": SQL_DSL_TOPK,
         "percolate": SQL_PERCOLATE,
         "percolate_stateless": SQL_PERCOLATE,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,

@@ -200,6 +200,87 @@ def test_rescore_window_restricts_candidates(spark, shaped):
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in flat}
 
 
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("rank").collect()]
+
+
+def test_dsl_compiles_to_dedicated_operators(spark, shaped):
+    """Each DSL request form produces exactly the dedicated operator's
+    plan output (the DSL is a compiler, not a second scorer)."""
+    from neural_search_spark.query.boolean import bm25_topk_bool, bool_terms_df
+    from neural_search_spark.query.dsl import search_dsl
+
+    docs, idx = shaped
+    q = _q(spark, "zebra quark data", k=8)
+    phrases = spark.createDataFrame([(0, "zebra quark")], "query_id int, phrase string")
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match": {"query": "zebra quark data"}},
+                         "top_k": 8})
+    ) == _rows(
+        bm25_topk(idx.doc_terms, idx.terms, q, stats=idx.stats, positive_only=False)
+    )
+
+    got = search_dsl(
+        idx,
+        {"query": {"bool": {"must": ["zebra"], "should": ["quark", "data"],
+                            "must_not": ["filler"],
+                            "minimum_should_match": 1}},
+         "top_k": 8},
+    )
+    bt = bool_terms_df(spark, [(0, "+zebra -filler quark data", 8)])
+    assert _rows(got) == _rows(
+        bm25_topk_bool(idx, bt, min_should_match=1)
+    )
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match": {"query": "zebra quark"}},
+                         "collapse": {"field": "site"}, "top_k": 8}, docs=docs)
+    ) == _rows(
+        collapse_topk(idx, _q(spark, "zebra quark", 8), docs, "site",
+                      positive_only=False)
+    )
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match": {"query": "zebra"}},
+                         "function_score": {"field": "n_chars"}, "top_k": 8},
+                   docs=docs)
+    ) == _rows(
+        function_score_topk(idx, _q(spark, "zebra", 8), docs, "n_chars",
+                            positive_only=False)
+    )
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match": {"query": "zebra data"}},
+                         "rescore": {"phrase": "zebra quark",
+                                     "rescore_weight": 10.0}, "top_k": 8},
+                   docs=docs)
+    ) == _rows(
+        rescore_topk(idx, _q(spark, "zebra data", 8), docs, phrases,
+                     rescore_weight=10.0, positive_only=False)
+    )
+
+
+def test_dsl_rejects_bad_requests(spark, shaped):
+    from neural_search_spark.query.dsl import search_dsl
+
+    docs, idx = shaped
+    with pytest.raises(ValueError, match="exactly one"):
+        search_dsl(idx, {"query": {}})
+    with pytest.raises(ValueError, match="unsupported query kind"):
+        search_dsl(idx, {"query": {"fuzzy": {"value": "x"}}})
+    with pytest.raises(ValueError, match="at most one"):
+        search_dsl(idx, {"query": {"match": {"query": "zebra"}},
+                         "collapse": {"field": "site"},
+                         "rescore": {"phrase": "x"}}, docs=docs)
+    with pytest.raises(ValueError, match="needs the docs"):
+        search_dsl(idx, {"query": {"match": {"query": "zebra"}},
+                         "collapse": {"field": "site"}})
+    with pytest.raises(ValueError, match="shaping composes with match"):
+        search_dsl(idx, {"query": {"bool": {"must": ["zebra"]}},
+                         "collapse": {"field": "site"}}, docs=docs)
+
+
 def test_percolate_clause_semantics(spark, shaped):
     docs, idx = shaped
     registered = registered_queries_df(
