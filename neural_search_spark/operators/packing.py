@@ -1,0 +1,136 @@
+"""Sequence packing — concat-and-chunk layout for LLM training batches.
+
+A training-data pipeline's last step lays documents out into fixed-length
+training sequences: concatenate every document's tokens in a deterministic
+corpus order and cut the stream every ``budget`` tokens (the GPT-style
+"pack then chunk" scheme — each document knows which training chunks it
+lands in, and chunk boundaries may split documents). The reference engine
+stops at retrieval (no training-export surface); this operator is part of
+the beyond-reference pipeline tier.
+
+The core is a *global running total* of token counts in doc_id order. A
+naive ``sum() OVER (ORDER BY doc_id)`` collapses to a single partition —
+the same non-starter as ``row_number`` for id assignment — so this reuses
+the TeraSort pattern from ``index/docmap.py``:
+
+  1. range-partition by doc_id + sort within partitions,
+  2. tiny per-partition token-sum job -> driver-side cumulative offsets
+     (one long per partition),
+  3. partition-local cumulative sums shifted by the partition offset
+     (Arrow-batched kernel, no cross-partition traffic).
+
+Output per document (all exact integer arithmetic):
+
+  tok_start   global offset of the doc's first token
+  chunk_start floor(tok_start / budget)
+  chunk_end   floor((tok_start + n_tokens - 1) / budget)  (empty docs:
+              chunk_start, so every doc maps to >= 1 chunk deterministically)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    doc_tokens: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_start, chunk_start, chunk_end): assign each
+    document its token span and training-chunk range in the concatenated
+    ``id_col``-ordered token stream cut every ``budget`` tokens."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = doc_tokens.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        doc_tokens.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n, F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+    )
+    parts.persist(StorageLevel.MEMORY_AND_DISK)
+
+    sums = (
+        parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    by_pid = {r["pid"]: int(r["toks"]) for r in sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(by_pid, default=-1) + 1):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    boff = spark.sparkContext.broadcast(offsets)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("tok_start", T.LongType(), False),
+            T.StructField("chunk_start", T.LongType(), False),
+            T.StructField("chunk_end", T.LongType(), False),
+        ]
+    )
+    b = int(budget)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pos = boff.value.get(ctx.partitionId(), 0)
+        for pdf in batches:
+            lens = pdf["n_tokens"].to_numpy()
+            starts = lens.cumsum() - lens + pos
+            pos = int(pos + lens.sum())
+            last = starts + lens - 1
+            # empty doc: zero-width span anchored at its stream position
+            last[lens == 0] = starts[lens == 0]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": lens,
+                    "tok_start": starts,
+                    "chunk_start": starts // b,
+                    "chunk_end": last // b,
+                }
+            )
+
+    return parts.mapInPandas(kernel, schema=schema)
+
+
+def chunk_manifest(packed: DataFrame, budget: int) -> DataFrame:
+    """(chunk_id, n_docs, n_tokens): how many documents and tokens land in
+    each training chunk — the export-side manifest. A doc spanning k chunks
+    counts toward each; token attribution is exact per-chunk overlap.
+
+    One explode bounded by (tokens / budget) extra rows corpus-wide (each doc
+    spans ceil(len/budget)+1 chunks at most), then one bounded groupBy.
+    """
+    b = int(budget)
+    spans = packed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.explode(F.sequence("chunk_start", "chunk_end")).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * b)
+    hi = F.least(F.col("tok_start") + F.col("n_tokens"), (F.col("chunk_id") + 1) * b)
+    return (
+        spans.withColumn("toks_here", F.greatest(hi - lo, F.lit(0)))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks_here").alias("n_tokens"),
+        )
+    )

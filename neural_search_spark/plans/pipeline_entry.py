@@ -1600,6 +1600,146 @@ FROM ranked WHERE rn = 1
 SQL_PIPELINE_CLEAN = _pipeline_clean_sql()
 
 
+# --- cardinality sketching (HyperLogLog) --------------------------------------
+
+
+def q_sketch_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-count estimates (``operators/sketches.py``) over
+    two value streams chosen to exercise BOTH estimator branches: per-lang
+    document texts (hundreds of distincts -> linear-counting branch) and
+    (doc_id, term) posting pairs (tens of thousands -> raw HLL branch).
+    The sketch is deterministic arithmetic, so the oracle recomputes it
+    exactly — the entry gates the estimator itself, not just its inputs."""
+    from ..functions.tokenize import doc_terms as doc_terms_fn
+    from ..operators.sketches import hll_cardinality
+
+    docs = _docs(spark, sf_dir)
+    texts = docs.select(
+        F.concat(F.lit("text:"), F.col("lang")).alias("grp"),
+        F.col("text").alias("val"),
+    )
+    pairs = doc_terms_fn(docs).select(
+        F.lit("pairs").alias("grp"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("term")).alias("val"),
+    )
+    return hll_cardinality(texts.unionByName(pairs), "val", ["grp"]).select(
+        "grp", "est_distinct"
+    )
+
+
+def _sketch_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    return (
+        "WITH "
+        + _TOKS.strip()
+        + """,
+vals AS (
+  SELECT 'text:' || lang AS grp, text AS val FROM documents
+  UNION ALL
+  SELECT 'pairs' AS grp, doc_id::VARCHAR || ':' || term AS val
+  FROM (SELECT DISTINCT doc_id, term FROM toks)
+),
+"""
+        + hll_sql("val", "vals", ["grp"]).strip()
+    )
+
+
+SQL_SKETCH_CARDINALITY = _sketch_sql()
+
+
+# --- sequence packing (concat-and-chunk training layout) -----------------------
+
+_PACK_BUDGET = 256
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing (``operators/packing.py``): each doc's token
+    span and training-chunk range in the doc_id-ordered token stream cut
+    every 256 tokens. TeraSort-pattern running total — no single-partition
+    window."""
+    from ..functions.tokenize import doc_lengths
+    from ..operators.packing import pack_sequences
+
+    lens = doc_lengths(_docs(spark, sf_dir)).withColumnRenamed("doc_len", "n_tokens")
+    return pack_sequences(lens, _PACK_BUDGET).select(
+        "doc_id", "n_tokens", "tok_start", "chunk_start", "chunk_end"
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {_TOKS.strip()},
+lens AS (
+  SELECT d.doc_id, count(t.term) AS n_tokens
+  FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS tok_start
+  FROM lens
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {_PACK_BUDGET})::BIGINT AS chunk_start,
+       (CASE WHEN n_tokens = 0 THEN tok_start // {_PACK_BUDGET}
+             ELSE (tok_start + n_tokens - 1) // {_PACK_BUDGET} END)::BIGINT AS chunk_end
+FROM cum
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Per-chunk export manifest over the packed layout
+    (``operators/packing.py:chunk_manifest``): docs touching each chunk and
+    exact per-chunk token attribution (split docs contribute their overlap)."""
+    from ..functions.tokenize import doc_lengths
+    from ..operators.packing import chunk_manifest, pack_sequences
+
+    lens = doc_lengths(_docs(spark, sf_dir)).withColumnRenamed("doc_len", "n_tokens")
+    packed = pack_sequences(lens, _PACK_BUDGET)
+    return chunk_manifest(packed, _PACK_BUDGET).select(
+        "chunk_id", F.col("n_docs").cast("long"), F.col("n_tokens").cast("long")
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH {_TOKS.strip()},
+lens AS (
+  SELECT d.doc_id, count(t.term) AS n_tokens
+  FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS tok_start
+  FROM lens
+),
+packed AS (
+  SELECT doc_id, n_tokens, tok_start,
+         (tok_start // {_PACK_BUDGET})::BIGINT AS chunk_start,
+         (CASE WHEN n_tokens = 0 THEN tok_start // {_PACK_BUDGET}
+               ELSE (tok_start + n_tokens - 1) // {_PACK_BUDGET} END)::BIGINT AS chunk_end
+  FROM cum
+),
+spans AS (
+  SELECT p.doc_id, p.n_tokens, p.tok_start, u.chunk_id
+  FROM packed p, LATERAL (
+    SELECT unnest(generate_series(p.chunk_start, p.chunk_end)) AS chunk_id
+  ) u
+)
+SELECT chunk_id, count(*) AS n_docs,
+       sum(greatest(
+         least(tok_start + n_tokens, (chunk_id + 1) * {_PACK_BUDGET})
+           - greatest(tok_start, chunk_id * {_PACK_BUDGET}),
+         0)) AS n_tokens
+FROM spans
+GROUP BY chunk_id
+"""
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1633,6 +1773,9 @@ def pipeline_queries() -> dict:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
+        "sketch_cardinality": q_sketch_cardinality,
+        "pack_sequences": q_pack_sequences,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1671,6 +1814,9 @@ def pipeline_oracles() -> dict:
         # ann_topk_ivf runs in exact-fold mode, so even the iterative
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+        "sketch_cardinality": SQL_SKETCH_CARDINALITY,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_chunks": SQL_PACK_CHUNKS,
     }
 
 

@@ -189,3 +189,29 @@ def test_indexed_positions_scan_prunes_terms_and_columns(spark, corpus_small, tm
     # column pruning: the WAND-only metadata never leaves the scan
     read_schema = plan.split("ReadSchema")[1][:400]
     assert "max_tf" not in read_schema and "min_dl" not in read_schema
+
+
+def test_hll_sketch_is_partially_aggregated(spark):
+    """The HLL register agg must map-side combine: each partition collapses
+    to <= m register rows before the shuffle (partial/merge HashAggregate
+    pair), and the whole sketch stays in codegen (no Python UDF)."""
+    from neural_search_spark.operators.sketches import hll_cardinality
+
+    df = spark.range(1000).select(F.concat(F.lit("v"), F.col("id")).alias("val"))
+    plan = _plan(hll_cardinality(df, "val"))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_has_no_global_single_partition_sort(spark):
+    """Packing's running total must use the range-partitioned two-pass form —
+    a single-partition window (`Window [... ORDER BY ...]` with Exchange
+    SinglePartition) would serialize the corpus through one task."""
+    from neural_search_spark.operators.packing import pack_sequences
+
+    lens = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 40).alias("n_tokens")
+    )
+    plan = _plan(pack_sequences(lens, 256, num_partitions=4))
+    assert "SinglePartition" not in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
