@@ -3003,6 +3003,64 @@ WHERE m.n_have_must = req.n_must
 SQL_PERCOLATE = _percolate_sql()
 
 
+# --- LM Dirichlet similarity (pluggable alternative scoring) ------------------
+
+
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (``query/similarities.py``) over
+    the raw driver corpus — a similarity with no idf floor, so it ranks
+    meaningfully even on the degenerate vocabulary where BM25's positive
+    cut empties (log-probability scores are negative by nature; the
+    match-mode contract ranks every doc sharing >= 1 known term)."""
+    from ..query.similarities import lm_dirichlet_topk
+
+    idx = build_logical_index(_docs(spark, sf_dir), persist=True)
+    out = lm_dirichlet_topk(idx.doc_terms, _queries_df(spark))
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_LM_DIRICHLET_TOPK = f"""
+WITH {_BASE_CTES},
+{_query_values_sql()},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(tf)::DOUBLE AS t FROM tf),
+qcf AS (
+  SELECT q.query_id, q.top_k, q.term, q.qtf, c.cf
+  FROM q JOIN cf c ON c.term = q.term
+),
+qlen AS (SELECT query_id, sum(qtf) AS q_len FROM qcf GROUP BY query_id),
+perdoc AS (
+  SELECT qc.query_id, qc.top_k, tf.doc_id,
+         sum(qc.qtf::DOUBLE * ln(1.0 + tf.tf::DOUBLE * (SELECT t FROM tot)
+             / (2000.0 * qc.cf::DOUBLE))) AS sum_contrib,
+         max(dl.doc_len) AS dl
+  FROM qcf qc
+  JOIN tf ON tf.term = qc.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY qc.query_id, qc.top_k, tf.doc_id
+),
+scored AS (
+  SELECT p.query_id, p.top_k, p.doc_id,
+         round(p.sum_contrib
+               + l.q_len::DOUBLE * ln(2000.0 / (p.dl::DOUBLE + 2000.0)), 4) AS score
+  FROM perdoc p JOIN qlen l ON l.query_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 def base_queries() -> dict:
     return {
         "bm25_topk": q_bm25_topk,
@@ -3044,6 +3102,7 @@ def base_queries() -> dict:
         "boosting_topk": q_boosting_topk,
         "rescore_topk": q_rescore_topk,
         "dsl_topk": q_dsl_topk,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "percolate": q_percolate,
         "percolate_stateless": q_percolate_stateless,
         "bm25_topk_syn": q_bm25_topk_syn,
@@ -3100,6 +3159,7 @@ def base_oracles() -> dict:
         "boosting_topk": SQL_BOOSTING_TOPK,
         "rescore_topk": SQL_RESCORE_TOPK,
         "dsl_topk": SQL_DSL_TOPK,
+        "lm_dirichlet_topk": SQL_LM_DIRICHLET_TOPK,
         "percolate": SQL_PERCOLATE,
         "percolate_stateless": SQL_PERCOLATE,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,
