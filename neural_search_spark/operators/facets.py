@@ -67,6 +67,43 @@ def stats_facet(
     )
 
 
+def percentiles_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    percents: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rounding: int = 6,
+) -> DataFrame:
+    """(query_id, pct, value): the Elasticsearch ``percentiles`` aggregation
+    over each query's result set — exact linear-interpolation percentiles
+    (``percentile`` / SQL ``quantile_cont`` semantics: value at rank
+    p*(n-1), interpolated), rounded for cross-engine stability.
+
+    Exactness is affordable here because the input is the q x k *result*
+    set, not the corpus: same broadcast-results join as ``stats_facet``,
+    then one bounded groupBy. (A corpus-wide percentile at 10^12 rows would
+    instead use ``percentile_approx`` — t-digest — which trades the
+    cross-engine bit-contract for a single pass; result-set aggs don't need
+    to.)"""
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, value_col).join(F.broadcast(hits), id_col)
+    v = F.col(value_col).cast("double")
+    pcts = [float(p) for p in percents]
+    agged = joined.groupBy(query_col).agg(
+        F.percentile(v, F.lit(pcts)).alias("vals")
+    )
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    return agged.select(
+        query_col, F.posexplode("vals").alias("i", "raw")
+    ).select(
+        query_col,
+        F.element_at(pct_arr, F.col("i") + 1).alias("pct"),
+        F.round("raw", rounding).alias("value"),
+    )
+
+
 def significant_terms(
     results: DataFrame,
     doc_terms: DataFrame,

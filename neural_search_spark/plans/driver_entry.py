@@ -1488,6 +1488,36 @@ fs AS (
 )
 
 
+_PCTS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-style percentiles aggregation (exact linear
+    interpolation) of n_chars per query result set
+    (``operators/facets.py:percentiles_facet``)."""
+    from ..operators.facets import percentiles_facet
+
+    results = _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
+    return percentiles_facet(results, _docs(spark, sf_dir), "n_chars", _PCTS)
+
+
+SQL_FACET_PERCENTILES = _bm25_sql(
+    "SELECT query_id, pct, value FROM fp",
+    positive_only=False,
+    extra_cte=f""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+qv AS (
+  SELECT c.query_id,
+         quantile_cont(d.n_chars::DOUBLE, {list(_PCTS)}) AS vals
+  FROM cut c JOIN documents d ON d.doc_id = c.doc_id GROUP BY c.query_id
+),
+fp AS (
+  SELECT query_id, {list(_PCTS)}[i] AS pct, round(vals[i], 6) AS value
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, {len(_PCTS)})) AS i) u
+)""",
+)
+
+
 # --- Significant terms (result-set vs background overrepresentation) ----------
 
 _SIG_M = 8
@@ -3086,6 +3116,7 @@ def base_queries() -> dict:
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
         "facet_histogram": q_facet_histogram,
+        "facet_percentiles": q_facet_percentiles,
         "facet_stats": q_facet_stats,
         "significant_terms": q_significant_terms,
         "merge_equivalence": q_merge_equivalence,
@@ -3143,6 +3174,7 @@ def base_oracles() -> dict:
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
         "facet_histogram": SQL_FACET_HISTOGRAM,
+        "facet_percentiles": SQL_FACET_PERCENTILES,
         "facet_stats": SQL_FACET_STATS,
         "significant_terms": SQL_SIGNIFICANT_TERMS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,

@@ -1600,6 +1600,85 @@ FROM ranked WHERE rn = 1
 SQL_PIPELINE_CLEAN = _pipeline_clean_sql()
 
 
+# --- int8 scalar-quantized ANN -------------------------------------------------
+
+_SQ8_CAND = 40
+
+
+def q_ann_topk_sq8(spark, sf_dir):
+    """Two-stage scalar-quantized search (``operators/similarity.py:
+    ann_sq8_topk``): int8-code candidate scan (4x smaller scan footprint,
+    integer dot) -> exact-cosine rescore of the top 40 -> top-10. Both
+    stages are deterministic arithmetic, so the oracle reproduces the
+    quantization codes and both rankings exactly."""
+    return SIM.ann_sq8_topk(
+        _emb(spark, sf_dir), _query_vecs(spark, sf_dir),
+        top_k=10, candidates=_SQ8_CAND,
+        query_vec_col="qv",
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "score",
+    )
+
+
+def _sq8_quant_sql(src: str, id_expr: str, out_id: str) -> str:
+    return f"""(
+  SELECT {id_expr} AS {out_id}, scale, nrm,
+         CASE WHEN scale > 0
+              THEN list_transform(emb, x -> floor(x::DOUBLE / scale * 127.0 + 0.5)::BIGINT)
+              ELSE list_transform(emb, x -> 0::BIGINT) END AS q8
+  FROM (
+    SELECT {id_expr}, emb,
+           list_aggregate(list_transform(emb, x -> abs(x::DOUBLE)), 'max') AS scale,
+           sqrt(list_sum(list_transform(generate_series(1, len(emb)),
+                                        i -> emb[i]::DOUBLE * emb[i]::DOUBLE))) AS nrm
+    FROM {src}
+  )
+)"""
+
+
+SQL_ANN_TOPK_SQ8 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS emb FROM embeddings WHERE vec_id < 5
+),
+d AS (SELECT vec_id, embedding AS emb FROM embeddings),
+dz AS {_sq8_quant_sql('d', 'vec_id', 'vec_id')},
+qz AS {_sq8_quant_sql('q', 'query_id', 'query_id')},
+cand AS (
+  SELECT qz.query_id, dz.vec_id,
+         round((list_sum(list_transform(generate_series(1, len(dz.q8)),
+                                        i -> dz.q8[i] * qz.q8[i]))::DOUBLE
+                * dz.scale * qz.scale / 16129.0) / (dz.nrm * qz.nrm), 6) AS approx
+  FROM dz CROSS JOIN qz
+),
+kept AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY approx DESC, vec_id ASC
+           ) AS crank
+    FROM cand
+  ) WHERE crank <= {_SQ8_CAND}
+),
+rescored AS (
+  SELECT k.query_id, k.vec_id,
+         round({_cos_sql('e.embedding', 'q.emb')}, 6) AS score
+  FROM kept k
+  JOIN embeddings e ON e.vec_id = k.vec_id
+  JOIN q ON q.query_id = k.query_id
+)
+SELECT query_id, rank, vec_id, score FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS rank
+  FROM rescored
+) WHERE rank <= 10
+"""
+
+
 # --- cardinality sketching (HyperLogLog) --------------------------------------
 
 
@@ -1752,6 +1831,7 @@ def pipeline_queries() -> dict:
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_sq8": q_ann_topk_sq8,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_token_profile": q_text_token_profile,
@@ -1790,6 +1870,7 @@ def pipeline_oracles() -> dict:
         "decontaminate": SQL_DECONTAMINATE,
         "ann_topk_brute": SQL_ANN_TOPK_BRUTE,
         "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+        "ann_topk_sq8": SQL_ANN_TOPK_SQ8,
         "emb_cosine_pairs": SQL_EMB_COSINE_PAIRS,
         "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_LSH,
         "text_token_profile": SQL_TEXT_TOKEN_PROFILE,

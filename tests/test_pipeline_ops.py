@@ -689,3 +689,32 @@ def test_pipeline_clean_every_stage_is_nonvacuous(spark):
     for r in cand:
         lines = r["clean_text"].split("\n")
         assert len(lines) == len(set(lines)), r["doc_id"]
+
+
+def test_ann_sq8_recall_and_codes(spark, emb, emb_queries):
+    """int8 scalar quantization on ~real embeddings: (a) the two-stage search
+    recovers (nearly) the brute top-10 — rescore makes stage-1 error survivable
+    only below the candidate cut; (b) codes are valid int8 and dequantize back
+    within half a quantization step."""
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.cosine_topk(emb, emb_queries, top_k=10).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.ann_sq8_topk(emb, emb_queries, top_k=10, candidates=40).collect()
+    }
+    recall = len(sq8 & brute) / len(brute)
+    assert recall >= 0.95, recall
+
+    qz = SIM.quantize_sq8(emb).collect()
+    full = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in qz[:50]:
+        assert all(-127 <= c <= 127 for c in r["q8"])
+        v = full[r["vec_id"]]
+        if r["scale"] == 0:
+            assert all(c == 0 for c in r["q8"])
+            continue
+        step = r["scale"] / 127.0
+        for c, x in zip(r["q8"], v):
+            assert abs(c * step - x) <= step / 2 + 1e-12
