@@ -2891,6 +2891,10 @@ _DSL_REQUESTS: list[dict] = [
                         "minimum_should_match": 1}}, "top_k": 8},
     {"query": {"match": {"query": "window"}},
      "function_score": {"field": "n_chars"}, "top_k": 8},
+    # ES filter context: non-scoring metadata predicate; scores identical to
+    # the unfiltered request, ranks recomputed over the surviving docs.
+    {"query": {"match": {"query": "window merge"}},
+     "filter": {"lang": {"$in": ["en", "de"]}}, "top_k": 8},
 ]
 
 
@@ -2939,12 +2943,33 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
+    sql_filter = _bm25_sql(
+        "SELECT query_id, rank, doc_id, score FROM reranked WHERE rank <= top_k",
+        positive_only=False, src="docs_aug",
+        queries=[(0, "window merge", 8)],
+        prefix_cte=_AUG_CTE + ",",
+        extra_cte=""",
+filt AS (
+  SELECT s.query_id, s.top_k, s.doc_id, s.score
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN ('en', 'de')
+),
+reranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM filt
+)""",
+    )
     return f"""
 SELECT 0 AS req_id, rank, doc_id, score FROM ({sql_flat})
 UNION ALL
 SELECT 1 AS req_id, rank, doc_id, score FROM ({sql_bool})
 UNION ALL
 SELECT 2 AS req_id, rank, doc_id, score FROM ({sql_fscore})
+UNION ALL
+SELECT 3 AS req_id, rank, doc_id, score FROM ({sql_filter})
 """
 
 

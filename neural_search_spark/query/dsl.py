@@ -13,10 +13,17 @@ here.
 Supported request shape (a dict, typically parsed from JSON):
 
     {
-      "query": {"match": {"query": "free text"}}
+      "query": {"match": {"query": "free text",
+                          "similarity": "bm25" | "lm_dirichlet"}}
              | {"bool": {"must": [t...], "should": [t...],
-                         "must_not": [t...], "minimum_should_match": n}},
+                         "must_not": [t...], "minimum_should_match": n}}
+             | {"match_phrase": {"query": "exact phrase", "slop": 0}}
+             | {"boosted": "term^2.5 other"}
+             | {"prefix": "jo"} | {"wildcard": "j*n"}
+             | {"more_like_this": doc_id},
       "top_k": 10,                    # optional, default 10
+      "filter": {"lang": "en", "n_chars": {"$gte": 100}},   # optional,
+                                      # composes with match (filter context)
       "collapse": {"field": "site", "per_key": 1},          # optional
       "function_score": {"field": "n_chars",                # optional
                          "factor": 1.0, "boost_mode": "multiply"},
@@ -26,9 +33,15 @@ Supported request shape (a dict, typically parsed from JSON):
 
 ``collapse`` / ``function_score`` / ``rescore`` layer on a match query
 (they re-shape the flat ranking, mirroring the ES request layout where
-they are siblings of ``query``); ``bool`` compiles to the boolean
-operator. Exactly one result-shaping sibling may be present — composing
-several is a plan product the dedicated operators define individually.
+they are siblings of ``query``); every other kind compiles to its
+dedicated operator. ``match_phrase`` with ``slop > 0`` compiles to the
+ordered-proximity operator with ``max_span = n_terms + slop`` (slop 0 is
+the exact-phrase plan, ranked by phrase tf). ``filter`` is the ES filter
+context: a non-scoring metadata predicate (``operators/filters.py``)
+applied as a semi join on the scored side — document scores are identical
+to the unfiltered query, matching ES semantics. Exactly one
+result-shaping sibling may be present — composing several is a plan
+product the dedicated operators define individually.
 """
 
 from __future__ import annotations
@@ -62,6 +75,55 @@ def search_dsl(
         raise ValueError(f"at most one of {_SHAPERS} per request, got {shapers}")
 
     (kind, body), = q.items()
+    filt = request.get("filter")
+    if filt is not None and (kind != "match" or shapers):
+        raise ValueError("'filter' composes with plain match queries")
+    if kind == "match_phrase":
+        if shapers:
+            raise ValueError("result shaping composes with match queries")
+        from ..functions.tokenize import tokenize_py
+        from .phrase import doc_term_positions, ordered_near_topk, phrase_topk
+
+        text = body["query"] if isinstance(body, dict) else str(body)
+        slop = int(body.get("slop", 0)) if isinstance(body, dict) else 0
+        positions = doc_term_positions(_need_docs(docs, "match_phrase"))
+        if slop == 0:
+            return phrase_topk(positions, spark, [(0, text, top_k)])
+        span = len(tokenize_py(text)) + slop
+        return ordered_near_topk(positions, spark, [(0, text, top_k, span)])
+    if kind in ("prefix", "wildcard"):
+        if shapers:
+            raise ValueError("result shaping composes with match queries")
+        from .prefix import prefix_topk, wildcard_topk
+
+        col = "prefix" if kind == "prefix" else "pattern"
+        qdf = spark.createDataFrame(
+            [(0, str(body), top_k)], f"query_id int, {col} string, top_k int"
+        )
+        fn = prefix_topk if kind == "prefix" else wildcard_topk
+        return fn(index, qdf, params=params, positive_only=positive_only,
+                  round_to=round_to)
+    if kind == "boosted":
+        if shapers:
+            raise ValueError("result shaping composes with match queries")
+        from .boosting import bm25_topk_boosted
+
+        qdf = spark.createDataFrame(
+            [(0, str(body), top_k)], "query_id int, query_text string, top_k int"
+        )
+        return bm25_topk_boosted(
+            index, qdf, params=params, positive_only=positive_only,
+            score_rounding=round_to,
+        )
+    if kind == "more_like_this":
+        if shapers:
+            raise ValueError("result shaping composes with match queries")
+        from .mlt import more_like_this
+
+        src = spark.createDataFrame([(int(body),)], "src_id long")
+        return more_like_this(
+            index, src, k=top_k, params=params, positive_only=positive_only
+        )
     if kind == "bool":
         if shapers:
             raise ValueError("result shaping composes with match queries")
@@ -85,6 +147,18 @@ def search_dsl(
     queries = spark.createDataFrame(
         [(0, text, top_k)], "query_id int, query_text string, top_k int"
     )
+    similarity = body.get("similarity", "bm25") if isinstance(body, dict) else "bm25"
+    if similarity not in ("bm25", "lm_dirichlet"):
+        raise ValueError(f"unsupported similarity: {similarity}")
+    if similarity == "lm_dirichlet":
+        if shapers or filt is not None:
+            raise ValueError("similarity overrides compose with plain match only")
+        from .similarities import lm_dirichlet_topk
+
+        return lm_dirichlet_topk(
+            index.doc_terms, queries,
+            round_to=4 if round_to is None else round_to,
+        )
 
     if "collapse" in request:
         from .rescore import collapse_topk
@@ -128,6 +202,16 @@ def search_dsl(
         index.doc_terms, index.terms, queries, stats=index.stats,
         params=params, positive_only=positive_only,
     )
+    if filt is not None:
+        # ES filter context: non-scoring predicate; scores of surviving docs
+        # are identical to the unfiltered query. The predicate pushes down to
+        # the docs scan; the semi join keys on doc_id only.
+        from ..operators.filters import compile_filters
+
+        allowed = _need_docs(docs, "filter").where(compile_filters(filt)).select(
+            "doc_id"
+        )
+        per_doc = per_doc.join(allowed, "doc_id", "left_semi")
     if round_to is not None:
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
     return rank_topk(per_doc)

@@ -395,3 +395,99 @@ def test_percolate_stateless_plan_is_aggregation_free(spark, shaped):
     )
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+
+
+def test_dsl_new_query_kinds_compile_to_dedicated_operators(spark, shaped):
+    from neural_search_spark.query.boosting import bm25_topk_boosted
+    from neural_search_spark.query.dsl import search_dsl
+    from neural_search_spark.query.mlt import more_like_this
+    from neural_search_spark.query.phrase import (
+        doc_term_positions,
+        ordered_near_topk,
+        phrase_topk,
+    )
+    from neural_search_spark.query.prefix import prefix_topk, wildcard_topk
+    from neural_search_spark.query.similarities import lm_dirichlet_topk
+
+    docs, idx = shaped
+    positions = doc_term_positions(docs)
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match_phrase": {"query": "zebra quark"}},
+                         "top_k": 8}, docs=docs)
+    ) == _rows(phrase_topk(positions, spark, [(0, "zebra quark", 8)]))
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match_phrase": {"query": "zebra data",
+                                                    "slop": 1}},
+                         "top_k": 8}, docs=docs)
+    ) == _rows(ordered_near_topk(positions, spark, [(0, "zebra data", 8, 3)]))
+
+    qp = spark.createDataFrame([(0, "ze", 8)], "query_id int, prefix string, top_k int")
+    assert _rows(search_dsl(idx, {"query": {"prefix": "ze"}, "top_k": 8})) == _rows(
+        prefix_topk(idx, qp)
+    )
+
+    qw = spark.createDataFrame(
+        [(0, "z*ra", 8)], "query_id int, pattern string, top_k int"
+    )
+    assert _rows(search_dsl(idx, {"query": {"wildcard": "z*ra"}, "top_k": 8})) == _rows(
+        wildcard_topk(idx, qw)
+    )
+
+    qb = _q(spark, "zebra^2.5 data", 8)
+    assert _rows(
+        search_dsl(idx, {"query": {"boosted": "zebra^2.5 data"}, "top_k": 8})
+    ) == _rows(bm25_topk_boosted(idx, qb, positive_only=False))
+
+    src = spark.createDataFrame([(0,)], "src_id long")
+    assert _rows(
+        search_dsl(idx, {"query": {"more_like_this": 0}, "top_k": 8})
+    ) == _rows(more_like_this(idx, src, k=8, positive_only=False))
+
+    assert _rows(
+        search_dsl(idx, {"query": {"match": {"query": "zebra data",
+                                             "similarity": "lm_dirichlet"}},
+                         "top_k": 8})
+    ) == _rows(lm_dirichlet_topk(idx.doc_terms, _q(spark, "zebra data", 8)))
+
+
+def test_dsl_filter_context_preserves_scores(spark, shaped):
+    from neural_search_spark.query.dsl import search_dsl
+
+    docs, idx = shaped
+    flat = {
+        r["doc_id"]: r["score"]
+        for r in search_dsl(idx, {"query": {"match": {"query": "zebra"}},
+                                  "top_k": 8}).collect()
+    }
+    got = search_dsl(
+        idx,
+        {"query": {"match": {"query": "zebra"}}, "filter": {"site": "a"},
+         "top_k": 8},
+        docs=docs,
+    ).orderBy("rank").collect()
+    # only site-a docs survive, scores UNCHANGED (ES filter context), ranks 1..n
+    assert [r["doc_id"] for r in got] and all(r["doc_id"] in (0, 1, 2) for r in got)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r["score"] == flat[r["doc_id"]]
+
+
+def test_dsl_new_kind_rejections(spark, shaped):
+    from neural_search_spark.query.dsl import search_dsl
+
+    docs, idx = shaped
+    with pytest.raises(ValueError, match="filter"):
+        search_dsl(idx, {"query": {"prefix": "ze"}, "filter": {"site": "a"}},
+                   docs=docs)
+    with pytest.raises(ValueError, match="plain match"):
+        search_dsl(idx, {"query": {"match": {"query": "zebra",
+                                             "similarity": "lm_dirichlet"}},
+                         "filter": {"site": "a"}}, docs=docs)
+    with pytest.raises(ValueError, match="unsupported similarity"):
+        search_dsl(idx, {"query": {"match": {"query": "zebra",
+                                             "similarity": "tfidf"}}})
+    with pytest.raises(ValueError, match="result shaping"):
+        search_dsl(idx, {"query": {"match_phrase": {"query": "zebra quark"}},
+                         "collapse": {"field": "site"}}, docs=docs)
