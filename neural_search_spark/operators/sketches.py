@@ -64,32 +64,53 @@ def hll_register_rho(value: Column, p: int = 8, hash_bits: int = 48) -> tuple[Co
     return reg, rho.cast("long")
 
 
-def hll_cardinality(
+def hll_partial(
     df: DataFrame,
     value_col: str,
     group_cols: list[str] | None = None,
     p: int = 8,
-    rounding: int = 4,
 ) -> DataFrame:
-    """(group_cols..., est_distinct): HyperLogLog distinct-count estimate of
-    ``value_col`` per group. Deterministic: same input -> same estimate, on
-    any engine that reproduces the register arithmetic (see module doc).
-    """
+    """(group_cols..., reg, mreg): the sketch itself — at most m register
+    rows per group, the durable/mergeable representation. This is what a
+    100 TB pipeline persists per day/partition/source: sketches union by
+    ``hll_merge`` (register-wise max), so distinct counts over any
+    combination of slices never rescan the data."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
     group_cols = list(group_cols or [])
-    m = 2**p
-    tail_bits = 48 - p
     reg, rho = hll_register_rho(F.col(value_col), p=p)
-
-    regs = (
+    return (
         df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("mreg"))
     )
+
+
+def hll_merge(partials: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union sketches: register-wise max over any number of partials
+    (re-grouped by ``group_cols``, which may be a subset of — or empty,
+    collapsing — the dimensions the partials were built with). The merge of
+    per-slice sketches is EXACTLY the sketch of the unioned data, so the
+    estimate after :func:`hll_estimate` is identical — the property that
+    makes the sketch distributable."""
+    group_cols = list(group_cols or [])
+    return partials.groupBy(*group_cols, "reg").agg(F.max("mreg").alias("mreg"))
+
+
+def hll_estimate(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    rounding: int = 4,
+) -> DataFrame:
+    """(group_cols..., est_distinct): finish a sketch into the estimate
+    (exact-integer harmonic sum + the linear-counting branch; module doc)."""
+    group_cols = list(group_cols or [])
+    m = 2**p
+    tail_bits = 48 - p
     # Exact-integer harmonic sum: sum(2^(tail_bits - M)) <= m * 2^(tail_bits-1)
     # < 2^63 for every allowed p. pow(2.0, k) is exact for k <= 52.
-    folded = regs.groupBy(*group_cols).agg(
+    folded = partials.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), F.lit(tail_bits) - F.col("mreg")).cast("long")).alias(
             "s_scaled"
         ),
@@ -106,6 +127,25 @@ def hll_cardinality(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(e_raw)
     return folded.select(*group_cols, F.round(est, rounding).alias("est_distinct"))
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    rounding: int = 4,
+) -> DataFrame:
+    """(group_cols..., est_distinct): HyperLogLog distinct-count estimate of
+    ``value_col`` per group. Deterministic: same input -> same estimate, on
+    any engine that reproduces the register arithmetic (see module doc).
+    ``hll_partial`` -> ``hll_estimate`` in one call."""
+    return hll_estimate(
+        hll_partial(df, value_col, group_cols, p=p),
+        group_cols,
+        p=p,
+        rounding=rounding,
+    )
 
 
 def hll_sql(

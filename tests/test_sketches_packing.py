@@ -112,3 +112,27 @@ def test_chunk_manifest_conserves_tokens(spark, lens_df):
 def test_pack_sequences_rejects_bad_budget(spark, lens_df):
     with pytest.raises(ValueError):
         pack_sequences(lens_df, 0)
+
+
+def test_hll_merge_of_slices_equals_whole(spark):
+    """The distributable-sketch property: per-slice partial sketches merged
+    register-wise give EXACTLY the whole-data sketch — estimates identical,
+    including overlapping slices (union semantics, not addition)."""
+    from neural_search_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("day"), F.concat(F.lit("u"), (F.col("id") % 1100)).alias("val")
+    )
+    whole = _estimates(df, "val")
+    per_day = hll_partial(df, "val", ["day"])
+    merged = hll_estimate(hll_merge(per_day, []), []).collect()[0]["est_distinct"]
+    assert merged == whole
+    # per-day estimates still available from the same partials
+    got = {r["day"]: r["est_distinct"] for r in hll_estimate(per_day, ["day"]).collect()}
+    for d in (0, 1, 2):
+        one = df.where(F.col("day") == d)
+        assert got[d] == _estimates(one, "val")
