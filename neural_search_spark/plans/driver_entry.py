@@ -2326,6 +2326,98 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
+_DM_TIE = 0.3
+
+
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max / multi_match best_fields (``query/bm25f.py:dis_max_topk``):
+    each field scores independently (own length norm, own boost), the doc
+    takes its BEST field plus tie_breaker x the others — the co-occurrence-
+    in-one-field philosophy, vs BM25F's cross-field tf pooling. Same derived
+    title/body fields and query set as ``bm25f_topk`` so the two entries
+    pin the two combiners apart on identical input."""
+    from ..query.bm25f import BM25FParams, FieldSpec, dis_max_topk, split_fielded_terms
+
+    docs = _aug_docs(spark, sf_dir)
+    idx = build_logical_index(docs, persist=True)
+    fielded = split_fielded_terms(docs, title_tokens=_F_TITLE_TOKENS)
+    params = BM25FParams(
+        k1=K1,
+        fields={
+            "title": FieldSpec(weight=_F_W_TITLE, b=_F_B),
+            "body": FieldSpec(weight=_F_W_BODY, b=_F_B),
+        },
+    )
+    out = dis_max_topk(
+        idx, fielded, _queries_df(spark, ENTRY_QUERIES_RARE),
+        params=params, tie_breaker=_DM_TIE, positive_only=True,
+        score_rounding=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SQL_DIS_MAX_TOPK = f"""
+WITH {_AUG_CTE},{_base_ctes(src="docs_aug")},
+{_query_values_sql(ENTRY_QUERIES_RARE)},
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS arr FROM docs_aug
+),
+ptoks AS (
+  SELECT doc_id,
+         CASE WHEN u.pos <= {_F_TITLE_TOKENS} THEN 'title' ELSE 'body' END AS fld,
+         u.term
+  FROM tokarr, LATERAL (
+    SELECT unnest(
+      [{{'pos': i, 'term': arr[i]}} for i in generate_series(1, len(arr))],
+      recursive := true
+    )
+  ) u
+),
+ftf AS (SELECT doc_id, fld, term, count(*) AS tf FROM ptoks GROUP BY 1, 2, 3),
+flen AS (SELECT doc_id, fld, sum(tf) AS field_len FROM ftf GROUP BY 1, 2),
+favg AS (
+  SELECT fld, sum(field_len) * 1.0 / (SELECT n_docs FROM cstats) AS avg_len
+  FROM flen GROUP BY fld
+),
+contrib AS (
+  SELECT q.query_id, q.top_k, ftf.doc_id, ftf.fld,
+         q.qtf::DOUBLE * f.idf * (ftf.tf::DOUBLE * ({K1} + 1.0)
+           / (ftf.tf::DOUBLE + {K1} * (1.0 - {_F_B!r}
+              + {_F_B!r} * flen.field_len::DOUBLE / favg.avg_len))) AS c
+  FROM q
+  JOIN fidf f ON q.term = f.term
+  JOIN ftf ON ftf.term = q.term
+  JOIN flen ON flen.doc_id = ftf.doc_id AND flen.fld = ftf.fld
+  JOIN favg ON favg.fld = ftf.fld
+),
+per_field AS (
+  SELECT query_id, top_k, doc_id, fld,
+         (CASE fld WHEN 'title' THEN {_F_W_TITLE!r} ELSE {_F_W_BODY!r} END)
+           * sum(c) AS s
+  FROM contrib GROUP BY query_id, top_k, doc_id, fld
+),
+combined AS (
+  SELECT query_id, top_k, doc_id,
+         max(s) + {_DM_TIE!r} * (sum(s) - max(s)) AS score
+  FROM per_field GROUP BY query_id, top_k, doc_id
+),
+scored AS (SELECT * FROM combined WHERE score > 0),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
+"""
+
+
 # --- Stemmed retrieval (S-stemmer analyzer stage) -----------------------------
 # Stem-specific corpus view: on top of the rare-term augmentation, each doc
 # gets ' zq<doc_id%5>' in singular (odd ids) or plural 's' form (even ids).
@@ -3159,6 +3251,7 @@ def base_queries() -> dict:
         "rescore_topk": q_rescore_topk,
         "dsl_topk": q_dsl_topk,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "dis_max_topk": q_dis_max_topk,
         "percolate": q_percolate,
         "percolate_stateless": q_percolate_stateless,
         "bm25_topk_syn": q_bm25_topk_syn,
@@ -3217,6 +3310,7 @@ def base_oracles() -> dict:
         "rescore_topk": SQL_RESCORE_TOPK,
         "dsl_topk": SQL_DSL_TOPK,
         "lm_dirichlet_topk": SQL_LM_DIRICHLET_TOPK,
+        "dis_max_topk": SQL_DIS_MAX_TOPK,
         "percolate": SQL_PERCOLATE,
         "percolate_stateless": SQL_PERCOLATE,
         "bm25_topk_syn": SQL_BM25_TOPK_SYN,

@@ -167,3 +167,90 @@ def bm25f_topk(
         .where(F.col("rank") <= F.col("top_k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def dis_max_topk(
+    index: BM25Index,
+    fielded_terms: DataFrame,
+    queries: DataFrame,
+    params: BM25FParams = DEFAULT_BM25F,
+    tie_breaker: float = 0.0,
+    positive_only: bool = True,
+    score_rounding: int | None = None,
+) -> DataFrame:
+    """Per-query dis_max top-k: (query_id, rank, doc_id, score) — the
+    Elasticsearch ``dis_max`` / ``multi_match type=best_fields`` combiner,
+    the OTHER multi-field philosophy vs BM25F:
+
+        score(q, d) = max_f s_f  +  tie_breaker * (sum_f s_f - max_f s_f)
+
+    where s_f is the field's own length-normalized Okapi BM25 score times
+    its boost (``FieldSpec.weight``). Best-fields wins when query terms are
+    expected to co-occur in ONE field (navigational "title matches"), where
+    BM25F's cross-field tf pooling dilutes; tie_breaker > 0 re-admits the
+    other fields' evidence softly. idf stays document-level (df over any
+    field), as in ``bm25f_topk``.
+
+    Plan shape: the same fielded posting relation; one (query, doc, field)
+    aggregate then one (query, doc) aggregate — nested grains, both
+    partial-agg friendly, no shuffle beyond the flat path's.
+    """
+    flen = field_lengths(fielded_terms).persist()
+    avgfl = avg_field_lengths(flen, index.stats.n_docs)
+
+    qt = query_terms(queries)
+    q_idf = qt.join(index.terms.select("term", "idf"), "term", "inner")
+
+    k1 = params.k1
+    denom = None
+    for fname, spec in params.fields.items():
+        d = (
+            F.col("tf").cast("double")
+            + k1
+            * (
+                1.0
+                - spec.b
+                + spec.b
+                * F.col("field_len").cast("double")
+                / F.lit(avgfl.get(fname, 1.0))
+            )
+        )
+        cond = F.col("field") == fname
+        denom = F.when(cond, d) if denom is None else denom.when(cond, d)
+    contrib = (
+        fielded_terms.join(flen, ["doc_id", "field"])
+        .join(F.broadcast(q_idf), "term")
+        .select(
+            "query_id", "top_k", "doc_id", "field",
+            (
+                F.col("qtf").cast("double")
+                * F.col("idf")
+                * (F.col("tf").cast("double") * (k1 + 1.0) / denom)
+            ).alias("c"),
+        )
+    )
+    weight = None
+    for fname, spec in params.fields.items():
+        cond = F.col("field") == fname
+        w = F.lit(float(spec.weight))
+        weight = F.when(cond, w) if weight is None else weight.when(cond, w)
+    per_field = contrib.groupBy("query_id", "top_k", "doc_id", "field").agg(
+        F.sum("c").alias("raw_s")
+    ).select(
+        "query_id", "top_k", "doc_id", (weight * F.col("raw_s")).alias("s")
+    )
+    combined = per_field.groupBy("query_id", "top_k", "doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    score = F.col("mx") + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+    per_doc = combined.select("query_id", "top_k", "doc_id", score.alias("score"))
+    if positive_only:
+        per_doc = per_doc.where(F.col("score") > 0)
+    if score_rounding is not None:
+        per_doc = per_doc.withColumn("score", F.round("score", score_rounding))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("top_k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -642,3 +642,51 @@ def test_wildcard_expands_and_scores(spark, mlt_index):
     got = sorted(map(tuple, wildcard_topk(mlt_index, wq).collect()))
     want = sorted(map(tuple, prefix_topk(mlt_index, pq).collect()))
     assert got == want and len(got) > 0
+
+
+def test_dis_max_best_fields_semantics(spark):
+    """dis_max vs BM25F: the doc whose query terms CO-OCCUR in one field wins
+    under best-fields (tie_breaker=0); tie_breaker re-admits the split doc's
+    second field without touching single-field docs."""
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.bm25f import (
+        BM25FParams,
+        FieldSpec,
+        dis_max_topk,
+        split_fielded_terms,
+    )
+
+    pad = " ".join(f"w{i}" for i in range(6))
+    rows = [
+        # title = first 8 tokens
+        (0, "alpha beta " + pad + " tail tail tail"),        # both in title
+        (1, "alpha " + pad + " x beta tail tail"),            # alpha title, beta body
+        (2, "other words entirely here now " + pad),
+        (3, "more unrelated filler text here " + pad),
+        (4, "background corpus doc one " + pad),
+        (5, "background corpus doc two " + pad),
+        (6, "background corpus doc three " + pad),
+        (7, "background corpus doc four " + pad),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_logical_index(docs, persist=True)
+    fielded = split_fielded_terms(docs, title_tokens=8)
+    params = BM25FParams(fields={"title": FieldSpec(weight=1.0), "body": FieldSpec(weight=1.0)})
+    q = spark.createDataFrame(
+        [(0, "alpha beta", 10)], "query_id int, query_text string, top_k int"
+    )
+
+    def scores(tb):
+        got = dis_max_topk(
+            idx, fielded, q, params=params, tie_breaker=tb,
+            positive_only=False, score_rounding=6,
+        ).collect()
+        return {r["doc_id"]: (r["rank"], r["score"]) for r in got}
+
+    tb0, tb1 = scores(0.0), scores(1.0)
+    # co-occurrence in ONE field wins under pure best-fields
+    assert tb0[0][0] < tb0[1][0]
+    # tie_breaker=1 adds the split doc's other field...
+    assert tb1[1][1] > tb0[1][1]
+    # ...and leaves single-matching-field docs untouched
+    assert tb1[0][1] == tb0[0][1]
