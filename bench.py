@@ -213,6 +213,31 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
         except ImportError:
             pass
 
+        # session-6 additions (not in the r01 headline total)
+        try:
+            from neural_search_spark.plans.driver_entry import (
+                q_dis_max_topk,
+                q_lm_dirichlet_topk,
+            )
+            from neural_search_spark.plans.pipeline_entry import (
+                q_ann_topk_sq8,
+                q_pack_sequences,
+                q_sketch_cardinality,
+            )
+
+            for name, fn in {
+                "lm_dirichlet_topk": q_lm_dirichlet_topk,
+                "dis_max_topk": q_dis_max_topk,
+                "sketch_cardinality": q_sketch_cardinality,
+                "pack_sequences": q_pack_sequences,
+                "ann_topk_sq8": q_ann_topk_sq8,
+            }.items():
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                timings[name] = time.time() - t0
+        except ImportError:
+            pass
+
         # positional index: build cost + phrase-from-index query cost, and
         # the position-stream byte overhead vs the flat postings (the price
         # of phrase serving; not in the r01 headline total)

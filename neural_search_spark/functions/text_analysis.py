@@ -410,3 +410,76 @@ def dedup_lines_within_doc(
             "clean_text",
         )
     )
+
+
+def collocations(
+    corpus: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    m: int = 20,
+    rounding: int = 6,
+) -> DataFrame:
+    """(rank, bigram, c_ab, pmi): corpus-level collocations — adjacent-token
+    bigrams ranked by pointwise mutual information
+
+        pmi = ln( P(ab) / (P(a) P(b)) )
+            = ln( (c_ab * T * T) / (B * c_a * c_b) )
+
+    with c_ab the bigram occurrence count (within-document adjacency only),
+    c_a/c_b unigram occurrence counts, T total tokens, B total bigrams. The
+    standard phrase-mining / shingle-vocabulary signal for web corpora
+    (which multiword units deserve their own index term); ``min_count``
+    suppresses the low-frequency PMI explosion, ties break on the bigram
+    string.
+
+    Scale shape: one explode + two partial-agg counts (bigram, unigram) —
+    both vocabulary-bounded after aggregation; the final top-m window runs
+    over the min_count-filtered bigram table (vocabulary-sized, corpus-size
+    independent), never over corpus rows. All arithmetic is one ln over a
+    ratio of exact counts, rounded — cross-engine reproducible.
+    """
+    toks = corpus.select(tokens_col(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS a, element_at(t, i + 2) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total_t = float(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    total_b = float(cab.agg(F.sum("c_ab")).collect()[0][0] or 0)
+
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.lit(total_t) * F.lit(total_t))
+            / (F.lit(total_b) * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        rounding,
+    )
+    scored = (
+        cab.where(F.col("c_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat(F.col("a"), F.lit(" "), F.col("b")).alias("bigram"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select(F.col("rank").cast("long").alias("rank"), "bigram", "c_ab", "pmi")
+    )

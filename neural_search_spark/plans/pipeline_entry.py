@@ -1727,6 +1727,53 @@ vals AS (
 SQL_SKETCH_CARDINALITY = _sketch_sql()
 
 
+# --- collocations (PMI phrase mining) ------------------------------------------
+
+_COLL_MIN, _COLL_M = 5, 20
+
+
+def q_text_collocations(spark, sf_dir):
+    """PMI-ranked adjacent-token collocations
+    (``functions/text_analysis.py:collocations``) over the documents
+    corpus — the phrase-mining signal for shingle-vocabulary selection."""
+    return TA.collocations(
+        _docs(spark, sf_dir), min_count=_COLL_MIN, m=_COLL_M
+    ).select("rank", "bigram", F.col("c_ab").cast("long").alias("c_ab"), "pmi")
+
+
+SQL_TEXT_COLLOCATIONS = f"""
+WITH {_TOKS.strip()},
+bg AS (
+  SELECT u.a, u.b
+  FROM tok_arr, LATERAL (
+    SELECT unnest(
+      [{{'a': t[i], 'b': t[i+1]}} for i in generate_series(1, len(t) - 1)],
+      recursive := true
+    )
+  ) u
+),
+cab AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+btot AS (SELECT sum(c_ab)::DOUBLE AS bt FROM cab),
+scored AS (
+  SELECT cab.a || ' ' || cab.b AS bigram, cab.c_ab,
+         round(ln((cab.c_ab::DOUBLE * (SELECT t FROM tot) * (SELECT t FROM tot))
+                  / ((SELECT bt FROM btot) * ua.c::DOUBLE * ub.c::DOUBLE)),
+               6) AS pmi
+  FROM cab
+  JOIN uni ua ON ua.term = cab.a
+  JOIN uni ub ON ub.term = cab.b
+  WHERE cab.c_ab >= {_COLL_MIN}
+)
+SELECT rank, bigram, c_ab, pmi FROM (
+  SELECT bigram, c_ab, pmi,
+         row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+  FROM scored
+) WHERE rank <= {_COLL_M}
+"""
+
+
 # --- sequence packing (concat-and-chunk training layout) -----------------------
 
 _PACK_BUDGET = 256
@@ -1854,6 +1901,7 @@ def pipeline_queries() -> dict:
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
         "sketch_cardinality": q_sketch_cardinality,
+        "text_collocations": q_text_collocations,
         "pack_sequences": q_pack_sequences,
         "pack_chunks": q_pack_chunks,
     }
@@ -1896,6 +1944,7 @@ def pipeline_oracles() -> dict:
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
         "sketch_cardinality": SQL_SKETCH_CARDINALITY,
+        "text_collocations": SQL_TEXT_COLLOCATIONS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_chunks": SQL_PACK_CHUNKS,
     }

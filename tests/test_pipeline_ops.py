@@ -718,3 +718,25 @@ def test_ann_sq8_recall_and_codes(spark, emb, emb_queries):
         step = r["scale"] / 127.0
         for c, x in zip(r["q8"], v):
             assert abs(c * step - x) <= step / 2 + 1e-12
+
+
+def test_collocations_pmi_ranks_bound_pairs_first(spark):
+    """A pair that ONLY occurs together ('los angeles') must out-PMI a pair of
+    frequent words that co-occur incidentally, regardless of raw counts."""
+    from neural_search_spark.functions.text_analysis import collocations
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "visit los angeles today"))          # bound pair, c=30
+    for i in range(30, 90):
+        rows.append((i, "the data the data the system"))     # frequent, loose
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(docs, min_count=5, m=10).collect()
+    by_bigram = {r["bigram"]: (r["rank"], r["c_ab"], r["pmi"]) for r in got}
+    assert "los angeles" in by_bigram
+    assert by_bigram["los angeles"][1] == 30
+    la_rank = by_bigram["los angeles"][0]
+    for bg in ("the data", "data the"):
+        if bg in by_bigram:
+            assert la_rank < by_bigram[bg][0]
+            assert by_bigram["los angeles"][2] > by_bigram[bg][2]
