@@ -368,6 +368,25 @@ def cmd_serve(args) -> int:
                         continue
                     print(json.dumps(tv), flush=True)
                     continue
+                if "explain" in req:
+                    # {"explain": "<query text>", "doc_id": id} — the ES
+                    # _explain analog: per-term score breakdown for one
+                    # (query, doc) pair, from the index alone
+                    if not hasattr(reader, "explain"):
+                        print(json.dumps({"error": "explain not supported on a multi-partition replica"}), flush=True)
+                        continue
+                    try:
+                        print(
+                            json.dumps(
+                                reader.explain(
+                                    str(req["explain"]), int(req["doc_id"])
+                                )
+                            ),
+                            flush=True,
+                        )
+                    except (KeyError, ValueError) as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                    continue
                 if "percolate" in req:
                     # {"percolate": "<doc text>"} — the ES single-doc
                     # percolate API: which saved searches match this doc

@@ -475,6 +475,57 @@ class IndexReader:
         dl = self._shard_state(shard).doc_len[int(doc_id) - shard * span]
         return {"doc_id": int(doc_id), "doc_len": int(dl), "terms": terms}
 
+    def explain(self, text: str, doc_id: int) -> dict:
+        """The ES ``_explain`` analog, replica-side: why does ``doc_id``
+        score what it scores for ``text``? Per-query-term tf / df / idf /
+        length-normalized contribution rows, recovered from the index alone
+        (one shard's posting blocks via ``term_vector`` + the term
+        dictionary already in memory) — no Spark job, no document store.
+
+        Returns {"doc_id", "doc_len", "score", "terms": [{term, tf, df,
+        qtf, idf, contrib}, ...]} with the cluster operator's rounding
+        contract (idf 6dp, contrib/score 4dp); rows match
+        ``query/explain.py:bm25_explain`` for the same (query, doc) pair
+        (pinned in tests/test_serve.py). Query tokens fold through the
+        index's bound analyzer, exactly like ``query``.
+        """
+        from ..functions.analyzers import analyze_tokens
+
+        counts: dict[str, int] = {}
+        for t in analyze_tokens(tokenize_py(text), self.stats.get("analyzer") or ""):
+            counts[t] = counts.get(t, 0) + 1
+        tv = self.term_vector(int(doc_id))
+        dl = float(tv["doc_len"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        avgdl = float(self.stats["avgdl"])
+        rows = []
+        score = 0.0
+        for term in sorted(counts):
+            if term not in self.idf or term not in tv["terms"]:
+                continue
+            tf = float(tv["terms"][term])
+            qtf = counts[term]
+            idf = float(self.idf[term])
+            denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+            contrib = qtf * idf * (tf * (k1 + 1.0) / denom)
+            score += contrib
+            rows.append(
+                {
+                    "term": term,
+                    "tf": int(tf),
+                    "df": int(self.df[term]),
+                    "qtf": int(qtf),
+                    "idf": float(round_half_up(np.array([idf]), 6)[0]),
+                    "contrib": float(round_half_up(np.array([contrib]), 4)[0]),
+                }
+            )
+        return {
+            "doc_id": int(doc_id),
+            "doc_len": int(tv["doc_len"]),
+            "score": float(round_half_up(np.array([score]), 4)[0]),
+            "terms": rows,
+        }
+
     # -- result hydration ----------------------------------------------------
 
     def hydrate(

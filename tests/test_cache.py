@@ -469,3 +469,29 @@ def test_cli_serve_mget(idx_dir):
     got = {d["doc_id"]: d for d in out["docs"]}
     assert set(got) == {0, 3}, "unknown ids are silently absent"
     assert got[0]["url"] and got[0]["content"]
+
+
+def test_cli_serve_explain_request(idx_dir):
+    """{"explain": query, "doc_id": id} returns the per-term breakdown whose
+    rows match IndexReader.explain (the ES _explain serving form)."""
+    import json
+    import subprocess
+    import sys
+
+    reader = IndexReader(idx_dir)
+    top = reader.query("w0005 w0010", top_k=1)
+    doc_id = top[0][0]
+    req = json.dumps({"explain": "w0005 w0010", "doc_id": doc_id})
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir],
+        input=req + "\n" + json.dumps({"explain": "w0005"}) + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert lines[0] == reader.explain("w0005 w0010", doc_id)
+    assert sum(r["contrib"] for r in lines[0]["terms"]) == pytest.approx(
+        lines[0]["score"], abs=2e-4
+    )
+    assert "error" in lines[1]  # missing doc_id

@@ -740,3 +740,40 @@ def test_reader_term_vector_positions(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="positions"):
         IndexReader(flat).term_vector(0, positions=True)
+
+
+def test_reader_explain_matches_cluster_operator(spark, served):
+    """Replica _explain == the oracle-gated cluster bm25_explain for the same
+    (query, doc): identical term rows (tf/df/qtf/idf/contrib at the shared
+    rounding contract) and the contributions sum to the hit's score."""
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.explain import bm25_explain
+
+    index, reader = served
+    text = "w0005 w0010 w0005"
+    q = spark.createDataFrame(
+        [(0, text, 3)], "query_id int, query_text string, top_k int"
+    )
+    # the logical index over the identical corpus (same docmap order, so the
+    # same doc ids by construction)
+    from neural_search_spark.index.docmap import assign_doc_ids
+
+    base = spark.read.parquet(str(reader.root).replace("/idx", "/corpus"))
+    logical = build_logical_index(assign_doc_ids(base), persist=True)
+    cluster = bm25_explain(logical, q, explain_k=1, positive_only=True).collect()
+    doc_id = cluster[0]["doc_id"]
+    want = {
+        r["term"]: (r["tf"], r["df"], r["qtf"], r["idf"], r["contrib"])
+        for r in cluster
+    }
+    got = reader.explain(text, doc_id)
+    assert got["doc_id"] == doc_id
+    rows = {
+        r["term"]: (r["tf"], r["df"], r["qtf"], r["idf"], r["contrib"])
+        for r in got["terms"]
+    }
+    assert rows == want
+    assert got["score"] == pytest.approx(
+        round(sum(r["contrib"] for r in got["terms"]), 4), abs=2e-4
+    )
+    assert got["doc_len"] == cluster[0]["doc_len"]
