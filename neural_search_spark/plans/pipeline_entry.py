@@ -1359,6 +1359,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_distinct_hll(spark, sf_dir):
+    """Windowed distinct users via the mergeable HLL sketch
+    (``streaming/ingest.py:windowed_distinct_hll``, batch form — the same
+    plan runs under Structured Streaming with <= 2^p register rows of state
+    per window, vs the unbounded set an exact distinct holds)."""
+    from ..streaming.ingest import windowed_distinct_hll
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_distinct_hll(ev).select(
+        "window_start", "event_type", "est_distinct"
+    )
+
+
+def _events_hll_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    inner = """(
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, user_id
+  FROM events
+)"""
+    return "WITH " + hll_sql(
+        "user_id", inner, ["window_start", "event_type"]
+    ).strip()
+
+
+SQL_EVENTS_DISTINCT_HLL = _events_hll_sql()
+
+
 # --- registries --------------------------------------------------------------
 
 
@@ -1900,6 +1930,7 @@ def pipeline_queries() -> dict:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
+        "events_distinct_hll": q_events_distinct_hll,
         "sketch_cardinality": q_sketch_cardinality,
         "text_collocations": q_text_collocations,
         "pack_sequences": q_pack_sequences,
@@ -1940,6 +1971,7 @@ def pipeline_oracles() -> dict:
         "events_windowed": SQL_EVENTS_WINDOWED,
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
+        "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
         # ann_topk_ivf runs in exact-fold mode, so even the iterative
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,

@@ -156,3 +156,62 @@ def run_windowed_events_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_hll_partial(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+) -> DataFrame:
+    """Per-(window, event_type) HLL register rows — the STREAMING stage of a
+    windowed distinct-count (the ES ``cardinality`` agg with bounded state):
+    one stateful aggregation whose state per group is at most 2^p register
+    rows (``max(rho)`` merges incrementally), vs the unbounded distinct set
+    an exact count would hold. The sink stores the registers (the durable,
+    mergeable sketch); :func:`finish_windowed_hll` turns them into estimates
+    at read time — the classic two-stage sketch pipeline, which also keeps
+    the streaming plan to a single stateful operator."""
+    from ..operators.sketches import hll_register_rho
+
+    reg, rho = hll_register_rho(F.col(value_col), p=p)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window_duration).alias("win"),
+            "event_type",
+            reg.alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("win", "event_type", "reg")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def finish_windowed_hll(partials: DataFrame, p: int = 8) -> DataFrame:
+    """(window_start, event_type, est_distinct) from stored register rows."""
+    from ..operators.sketches import hll_estimate
+
+    est = hll_estimate(partials, ["win", "event_type"], p=p)
+    return est.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "est_distinct",
+    )
+
+
+def windowed_distinct_hll(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 8,
+) -> DataFrame:
+    """Batch composition of partial + finish (the driver-entry form; the
+    estimate is the same md5-derived register arithmetic in batch, stream,
+    and the SQL oracle, so all three agree bit-for-bit on the same rows)."""
+    return finish_windowed_hll(
+        windowed_hll_partial(events, value_col, window_duration, watermark, p=p),
+        p=p,
+    )

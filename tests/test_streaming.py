@@ -239,3 +239,45 @@ def test_streaming_percolation_matches_batch(spark, tmp_path):
     assert got == want
     assert len(want) > 0
     assert not any(qid == 3 for _, qid in want)
+
+
+def test_windowed_distinct_hll_stream_matches_batch(spark, tmp_path):
+    """The HLL windowed distinct runs as a streaming aggregation with
+    bounded state (<= 2^p register rows per window) and, fully drained,
+    emits exactly the batch estimates."""
+    from neural_search_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        finish_windowed_hll,
+        windowed_distinct_hll,
+        windowed_hll_partial,
+    )
+
+    events_path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(events_path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_path)
+    )
+    q = (
+        windowed_hll_partial(stream)
+        .writeStream.format("memory")
+        .queryName("hll_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["event_type"]): r["est_distinct"]
+        for r in finish_windowed_hll(spark.sql("SELECT * FROM hll_test")).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["est_distinct"]
+        for r in windowed_distinct_hll(spark.read.parquet(events_path)).collect()
+    }
+    assert got == want
+    assert len(want) > 10
