@@ -67,6 +67,43 @@ def stats_facet(
     )
 
 
+def range_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    ranges: list[tuple[float | None, float | None]],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, range_key, n_docs): the Elasticsearch ``range`` aggregation
+    over each query's result set — explicit [from, to) buckets (from
+    inclusive, to exclusive, either side open with None; overlapping ranges
+    count a doc in every bucket it falls in, as ES does). Keys render as
+    ``"lo-hi"`` with ``*`` for an open side; empty buckets are absent (same
+    convention as ``histogram_facet``).
+
+    Same scale shape as the other result-set facets: broadcast the q x k
+    hits, the corpus never shuffles, output bounded by q x |ranges|."""
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, value_col).join(F.broadcast(hits), id_col)
+    v = F.col(value_col).cast("double")
+    buckets = []
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= float(lo))
+        if hi is not None:
+            cond = cond & (v < float(hi))
+        buckets.append(F.when(cond, F.lit(key)))
+    return (
+        joined.select(query_col, F.explode(F.array(*buckets)).alias("range_key"))
+        .where(F.col("range_key").isNotNull())
+        .groupBy(query_col, "range_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def percentiles_facet(
     results: DataFrame,
     docs: DataFrame,

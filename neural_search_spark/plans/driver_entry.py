@@ -1488,6 +1488,48 @@ fs AS (
 )
 
 
+_RANGES = ((None, 200.0), (200.0, 400.0), (300.0, 500.0), (400.0, None))
+
+
+def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-style range aggregation (explicit [from, to) buckets,
+    incl. an overlapping pair and two open-ended sides) of n_chars per query
+    result set (``operators/facets.py:range_facet``)."""
+    from ..operators.facets import range_facet
+
+    results = _topk_cut(_bm25_ranked(spark, sf_dir, positive_only=False))
+    return range_facet(results, _docs(spark, sf_dir), "n_chars", list(_RANGES)).select(
+        "query_id", "range_key", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
+def _range_values_sql() -> str:
+    rows = []
+    for lo, hi in _RANGES:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        rows.append(
+            f"('{key}', {'NULL' if lo is None else lo}, {'NULL' if hi is None else hi})"
+        )
+    return "r(range_key, lo, hi) AS (VALUES " + ", ".join(rows) + ")"
+
+
+SQL_FACET_RANGE = _bm25_sql(
+    "SELECT query_id, range_key, n_docs FROM fr",
+    positive_only=False,
+    extra_cte=f""",
+cut AS (SELECT query_id, doc_id FROM ranked WHERE rank <= top_k),
+{_range_values_sql()},
+fr AS (
+  SELECT c.query_id, r.range_key, count(*) AS n_docs
+  FROM cut c
+  JOIN documents d ON d.doc_id = c.doc_id
+  JOIN r ON (r.lo IS NULL OR d.n_chars::DOUBLE >= r.lo)
+        AND (r.hi IS NULL OR d.n_chars::DOUBLE < r.hi)
+  GROUP BY 1, 2
+)""",
+)
+
+
 _PCTS = (0.25, 0.5, 0.75, 0.95)
 
 
@@ -3234,6 +3276,7 @@ def base_queries() -> dict:
         "facet_counts": q_facet_counts,
         "facet_histogram": q_facet_histogram,
         "facet_percentiles": q_facet_percentiles,
+        "facet_range": q_facet_range,
         "facet_stats": q_facet_stats,
         "significant_terms": q_significant_terms,
         "merge_equivalence": q_merge_equivalence,
@@ -3293,6 +3336,7 @@ def base_oracles() -> dict:
         "facet_counts": SQL_FACET_COUNTS,
         "facet_histogram": SQL_FACET_HISTOGRAM,
         "facet_percentiles": SQL_FACET_PERCENTILES,
+        "facet_range": SQL_FACET_RANGE,
         "facet_stats": SQL_FACET_STATS,
         "significant_terms": SQL_SIGNIFICANT_TERMS,
         "merge_equivalence": SQL_MERGE_EQUIVALENCE,
