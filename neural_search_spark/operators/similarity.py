@@ -720,9 +720,16 @@ def ann_sq8_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     rounding: int = 6,
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, score): two-stage quantized search — int8
     candidate scan, exact-cosine rescore of the top ``candidates`` per query.
+
+    Pass ``quantized`` (a materialized :func:`quantize_sq8` output, e.g. a
+    parquet table built once at ingest) to make stage 1 scan ONLY the
+    4x-smaller code relation — the intended at-rest layout at scale; without
+    it the codes are derived inline (correct, but the scan reads the full
+    vectors anyway).
 
     Stage 1 scores every vector with the integer dot of the int8 codes,
     scaled back to an approximate cosine:
@@ -737,7 +744,11 @@ def ann_sq8_topk(
     recall-vs-brute pytest gate pins that margin on real data; the driver
     oracle reproduces both stages exactly.
     """
-    dz = quantize_sq8(embeddings, id_col=id_col, vec_col=vec_col)
+    dz = (
+        quantized
+        if quantized is not None
+        else quantize_sq8(embeddings, id_col=id_col, vec_col=vec_col)
+    )
     qz = quantize_sq8(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")

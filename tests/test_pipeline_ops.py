@@ -740,3 +740,14 @@ def test_collocations_pmi_ranks_bound_pairs_first(spark):
         if bg in by_bigram:
             assert la_rank < by_bigram[bg][0]
             assert by_bigram["los angeles"][2] > by_bigram[bg][2]
+
+
+def test_ann_sq8_prequantized_identical(spark, emb, emb_queries):
+    """Passing a materialized quantize_sq8 table (the at-rest layout) must
+    give exactly the inline-derivation result."""
+    inline = SIM.ann_sq8_topk(emb, emb_queries, top_k=10, candidates=40).collect()
+    pre = SIM.quantize_sq8(emb).persist()
+    via_table = SIM.ann_sq8_topk(
+        emb, emb_queries, top_k=10, candidates=40, quantized=pre
+    ).collect()
+    assert sorted(map(tuple, via_table)) == sorted(map(tuple, inline))
