@@ -134,3 +134,58 @@ def chunk_manifest(packed: DataFrame, budget: int) -> DataFrame:
             F.sum("toks_here").alias("n_tokens"),
         )
     )
+
+
+def export_chunks(
+    doc_tokens_arr: DataFrame,
+    packed: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(chunk_id, n_tokens, text): the materialized training sequences —
+    each chunk's token stream assembled from the documents whose spans it
+    overlaps (split docs contribute exactly their overlap slice, in stream
+    order). The export side of :func:`pack_sequences`; every chunk except
+    the last is exactly ``budget`` tokens.
+
+    Plan shape: the span explode is bounded by tokens/budget extra rows;
+    each doc ships only the token SLICE a chunk needs (codegen ``slice``,
+    no full-array duplication per spanned chunk beyond the overlap); one
+    groupBy(chunk_id) with the ordered-reassembly pattern (sort_array over
+    (tok_start, piece) structs, then flatten) — the same shape the line
+    operators use, never a per-row array_position scan.
+    """
+    b = int(budget)
+    spans = (
+        packed.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "tok_start",
+            "n_tokens",
+            F.explode(F.sequence("chunk_start", "chunk_end")).alias("chunk_id"),
+        )
+    )
+    toks = doc_tokens_arr.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("_toks")
+    )
+    lo = F.greatest(F.col("tok_start"), F.col("chunk_id") * b)
+    hi = F.least(F.col("tok_start") + F.col("n_tokens"), (F.col("chunk_id") + 1) * b)
+    piece = F.slice(
+        F.col("_toks"),
+        (lo - F.col("tok_start") + 1).cast("int"),
+        (hi - lo).cast("int"),
+    )
+    pieces = spans.join(toks, "doc_id").select(
+        "chunk_id", F.struct(F.col("tok_start"), piece.alias("piece")).alias("p")
+    )
+    assembled = pieces.groupBy("chunk_id").agg(
+        F.flatten(
+            F.transform(F.sort_array(F.collect_list("p")), lambda x: x["piece"])
+        ).alias("toks")
+    )
+    return assembled.select(
+        "chunk_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "toks").alias("text"),
+    )

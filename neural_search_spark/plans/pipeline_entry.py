@@ -1896,6 +1896,65 @@ GROUP BY chunk_id
 """
 
 
+def q_pack_export(spark, sf_dir):
+    """Materialized training sequences (``operators/packing.py:
+    export_chunks``): each 256-token chunk's text assembled from the
+    overlapping documents' token slices in stream order — the export side
+    of the packing layout, end-to-end."""
+    from ..functions.tokenize import doc_lengths, tokenize_udf
+    from ..operators.packing import export_chunks, pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    lens = doc_lengths(docs).withColumnRenamed("doc_len", "n_tokens")
+    packed = pack_sequences(lens, _PACK_BUDGET)
+    toks = docs.select("doc_id", tokenize_udf(F.col("text")).alias("tokens"))
+    return export_chunks(toks, packed, _PACK_BUDGET).select(
+        "chunk_id", "n_tokens", "text"
+    )
+
+
+SQL_PACK_EXPORT = f"""
+WITH {_TOKS.strip()},
+lens AS (
+  SELECT d.doc_id, count(t2.term) AS n_tokens
+  FROM documents d LEFT JOIN toks t2 ON t2.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS tok_start
+  FROM lens
+),
+packed AS (
+  SELECT doc_id, n_tokens, tok_start,
+         (tok_start // {_PACK_BUDGET})::BIGINT AS chunk_start,
+         (CASE WHEN n_tokens = 0 THEN tok_start // {_PACK_BUDGET}
+               ELSE (tok_start + n_tokens - 1) // {_PACK_BUDGET} END)::BIGINT AS chunk_end
+  FROM cum
+),
+spans AS (
+  SELECT p.doc_id, p.tok_start, p.n_tokens, u.chunk_id
+  FROM packed p, LATERAL (
+    SELECT unnest(generate_series(p.chunk_start, p.chunk_end)) AS chunk_id
+  ) u
+  WHERE p.n_tokens > 0
+),
+pieces AS (
+  SELECT s.chunk_id, s.tok_start,
+         ta.t[greatest(s.tok_start, s.chunk_id * {_PACK_BUDGET}) - s.tok_start + 1 :
+              least(s.tok_start + s.n_tokens, (s.chunk_id + 1) * {_PACK_BUDGET})
+                - s.tok_start] AS piece
+  FROM spans s JOIN tok_arr ta ON ta.doc_id = s.doc_id
+)
+SELECT chunk_id,
+       sum(len(piece))::BIGINT AS n_tokens,
+       string_agg(array_to_string(piece, ' '), ' ' ORDER BY tok_start) AS text
+FROM pieces GROUP BY chunk_id
+"""
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1935,6 +1994,7 @@ def pipeline_queries() -> dict:
         "text_collocations": q_text_collocations,
         "pack_sequences": q_pack_sequences,
         "pack_chunks": q_pack_chunks,
+        "pack_export": q_pack_export,
     }
 
 
@@ -1979,6 +2039,7 @@ def pipeline_oracles() -> dict:
         "text_collocations": SQL_TEXT_COLLOCATIONS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_chunks": SQL_PACK_CHUNKS,
+        "pack_export": SQL_PACK_EXPORT,
     }
 
 

@@ -136,3 +136,30 @@ def test_hll_merge_of_slices_equals_whole(spark):
     for d in (0, 1, 2):
         one = df.where(F.col("day") == d)
         assert got[d] == _estimates(one, "val")
+
+
+def test_export_chunks_reconstructs_the_stream(spark):
+    """Concatenating the exported chunks in order must reproduce EXACTLY the
+    doc_id-ordered token stream — nothing lost, duplicated, or reordered at
+    chunk boundaries (split docs included)."""
+    from neural_search_spark.operators.packing import export_chunks
+
+    rows = [(d, " ".join(f"d{d}t{i}" for i in range((d * 7) % 13 + (0 if d % 9 else 40))))
+            for d in range(60)]
+    rows[5] = (5, "")  # empty doc must not inject separators
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    ).withColumn("tokens", F.filter("tokens", lambda x: x != ""))
+    lens = toks.select("doc_id", F.size("tokens").alias("n_tokens"))
+    budget = 16
+    packed = pack_sequences(lens, budget, num_partitions=4)
+    out = sorted(
+        export_chunks(toks, packed, budget).collect(), key=lambda r: r["chunk_id"]
+    )
+    stream = " ".join(r["text"] for r in out).split()
+    want = [t for _, text in sorted(rows) for t in text.split()]
+    assert stream == want
+    assert all(r["n_tokens"] == budget for r in out[:-1])
+    assert 0 < out[-1]["n_tokens"] <= budget
+    assert [r["chunk_id"] for r in out] == list(range(len(out)))
