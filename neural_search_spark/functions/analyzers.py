@@ -22,10 +22,39 @@ from pyspark.sql import functions as F
 
 from .stem import s_stem_col, s_stem_py
 
+# ASCII folding (the Lucene ASCIIFoldingFilter analog, 1:1 subset): strip
+# Latin diacritics so "café" and "cafe" share one posting group. The table
+# is an explicit char map applied via translate() in BOTH mirrors — same
+# codepoints by construction, no locale/unicodedata dependence. Terms are
+# already lowercased by the reference tokenizer, so only lowercase source
+# chars appear. 1:n foldings (ae <- æ, ss <- ß) are out of scope for a
+# per-char translate and left unfolded (documented deviation from Lucene).
+_FOLD_SRC = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+_FOLD_DST = "aaaaaa" + "c" + "eeee" + "iiii" + "n" + "oooooo" + "uuuu" + "yy"
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+_FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
+
+def ascii_fold_py(term: str) -> str:
+    return term.translate(_FOLD_TABLE)
+
+
+def ascii_fold_col(term):
+    return F.translate(term, _FOLD_SRC, _FOLD_DST)
+
+
 # name -> (python mirror, Column mirror). "" / None = identity (no analysis
 # beyond the reference tokenizer).
 ANALYZERS = {
     "stem": (s_stem_py, s_stem_col),
+    "asciifold": (ascii_fold_py, ascii_fold_col),
+    # composed chain: fold diacritics first, then stem — analysis stages
+    # compose like Lucene token-filter chains (order matters and is fixed
+    # by the registered name, so index and query sides can't disagree)
+    "asciifold_stem": (
+        lambda t: s_stem_py(ascii_fold_py(t)),
+        lambda c: s_stem_col(ascii_fold_col(c)),
+    ),
 }
 
 

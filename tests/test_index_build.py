@@ -458,3 +458,63 @@ def test_positional_index_phrase_end_to_end(spark, tmp_path_factory):
     # merging flat with positional refuses
     with pytest.raises(ValueError, match="position"):
         merge_indexes(spark, out, flat_dir, str(root / "merged"))
+
+
+def test_asciifold_analyzer_physical_index_end_to_end(spark, tmp_path_factory):
+    """analyzer='asciifold': 'café' and 'cafe' share one posting group; the
+    accent-free query matches accented docs on WAND and the replica (both
+    fold query tokens through the index-bound analyzer automatically); the
+    composed 'asciifold_stem' chain folds then stems."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.functions.analyzers import analyze_tokens
+    from neural_search_spark.query.bm25_wand import bm25_topk_wand
+    from neural_search_spark.query.serve import IndexReader
+
+    root = tmp_path_factory.mktemp("foldidx")
+    rows = [
+        (0, "u0000", "café près de la gare"),
+        (1, "u0001", "cafe near the station"),
+        (2, "u0002", "naïve résumé review"),
+        (3, "u0003", "naive resume review"),
+        (4, "u0004", "window group agg"),
+        (5, "u0005", "sort shuffle spill"),
+        (6, "u0006", "filter project limit"),
+        (7, "u0007", "join hash broadcast"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = str(root / "idx")
+    layout = IndexLayout(docs_per_shard=4, block_size=4)
+    idx = build_index(
+        corpus, out, id_col="doc_id", layout=layout, n_buckets=4,
+        analyzer="asciifold",
+    )
+    assert idx.analyzer == "asciifold"
+
+    # folded vocabulary: both surface forms share one group with df 2
+    got_df = {
+        r["term"]: r["df"]
+        for r in idx.terms.where(F.col("term").isin("cafe", "café")).collect()
+    }
+    assert got_df == {"cafe": 2}
+
+    # accent-free query matches the accented doc (and vice versa), WAND side
+    qdf = spark.createDataFrame(
+        [(0, "cafe", 10), (1, "résumé naive", 10)],
+        "query_id int, query_text string, top_k int",
+    )
+    wand = bm25_topk_wand(idx, qdf, positive_only=False).collect()
+    by_q = {}
+    for r in wand:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q[0] == {0, 1}
+    assert by_q[1] == {2, 3}
+
+    # replica folds identically
+    reader = IndexReader(out)
+    assert {d for d, _ in reader.query("café", positive_only=False)} == {0, 1}
+    got = reader.query("cafe", positive_only=False)
+    assert got == reader.query("café", positive_only=False)
+
+    # composed chain folds then stems
+    assert analyze_tokens(["cafés", "tables"], "asciifold_stem") == ["cafe", "table"]
