@@ -74,6 +74,43 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Training-sequence packing: corpus parquet -> packed layout (or the
+    materialized chunk text with --export) + a one-line manifest summary."""
+    from pyspark.sql import functions as F
+
+    from .functions.tokenize import doc_lengths, tokenize_udf
+    from .index.docmap import assign_doc_ids
+    from .operators.packing import chunk_manifest, export_chunks, pack_sequences
+
+    spark = _spark("nss-pack")
+    corpus = spark.read.parquet(args.input)
+    if "doc_id" not in corpus.columns:
+        corpus = assign_doc_ids(corpus, order_col="url")
+    lens = doc_lengths(corpus).withColumnRenamed("doc_len", "n_tokens")
+    packed = pack_sequences(lens, args.budget)
+    if args.export:
+        toks = corpus.select("doc_id", tokenize_udf(F.col("text")).alias("tokens"))
+        out = export_chunks(toks, packed, args.budget)
+    else:
+        out = packed
+    out.write.mode("overwrite").parquet(args.output)
+    man = chunk_manifest(packed, args.budget).agg(
+        F.count(F.lit(1)).alias("chunks"), F.sum("n_tokens").alias("tokens")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "budget": args.budget,
+                "chunks": int(man["chunks"]),
+                "tokens": int(man["tokens"] or 0),
+                "exported": bool(args.export),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_add(args) -> int:
     from .index.maintenance import add_documents
 
@@ -583,6 +620,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(b)
     b.set_defaults(fn=cmd_build)
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--budget", type=int, default=2048,
+                    help="tokens per training chunk")
+    pk.add_argument("--export", action="store_true",
+                    help="write the materialized chunk text instead of the "
+                    "per-doc span layout")
+    pk.set_defaults(fn=cmd_pack)
 
     a = sub.add_parser("add")
     a.add_argument("--input", required=True)

@@ -163,3 +163,21 @@ def test_export_chunks_reconstructs_the_stream(spark):
     assert all(r["n_tokens"] == budget for r in out[:-1])
     assert 0 < out[-1]["n_tokens"] <= budget
     assert [r["chunk_id"] for r in out] == list(range(len(out)))
+
+
+def test_cli_pack_export_roundtrip(spark, tmp_path, capsys):
+    """`cli pack --export` writes materialized chunks whose totals match the
+    manifest summary it prints."""
+    import json
+
+    from neural_search_spark.cli import main
+
+    out = str(tmp_path / "packed")
+    rc = main(["pack", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", out, "--budget", "128", "--export"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    df = spark.read.parquet(out)
+    assert summary["chunks"] == df.count()
+    assert summary["tokens"] == sum(r["n_tokens"] for r in df.collect())
+    assert df.where("n_tokens > 128").count() == 0
