@@ -405,6 +405,28 @@ def cmd_serve(args) -> int:
                         continue
                     print(json.dumps(tv), flush=True)
                     continue
+                if "dsl" in req:
+                    # {"dsl": {<search_dsl request>}} — the cluster DSL's
+                    # replica-servable subset (match/bool/match_phrase/
+                    # prefix/wildcard/more_like_this); cluster-only forms
+                    # return a routing error
+                    if not hasattr(reader, "query_dsl"):
+                        print(json.dumps({"error": "dsl not supported on a multi-partition replica"}), flush=True)
+                        continue
+                    try:
+                        hits = reader.query_dsl(
+                            dict(req["dsl"]), positive_only=not args.match_all
+                        )
+                    except (KeyError, ValueError, TypeError) as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
+                    print(
+                        json.dumps(
+                            {"hits": [{"doc_id": d, "score": s} for d, s in hits]}
+                        ),
+                        flush=True,
+                    )
+                    continue
                 if "explain" in req:
                     # {"explain": "<query text>", "doc_id": id} — the ES
                     # _explain analog: per-term score breakdown for one

@@ -526,6 +526,83 @@ class IndexReader:
             "terms": rows,
         }
 
+    def query_dsl(self, request: dict, positive_only: bool = False) -> list:
+        """One declarative request object served replica-side — the SAME
+        shape ``query/dsl.py:search_dsl`` compiles cluster-side (match /
+        bool / match_phrase / prefix / wildcard / more_like_this, plus
+        top_k / offset / search_after), so a caller's JSON runs on either
+        tier with identical semantics (parity pinned in tests/test_serve.py).
+
+        Forms that need document attributes or another similarity
+        (``collapse`` / ``function_score`` / ``rescore`` / ``filter`` /
+        ``similarity: lm_dirichlet``) stay cluster-side and raise here —
+        route those requests to a Spark session.
+        """
+        q = request.get("query")
+        if not isinstance(q, dict) or len(q) != 1:
+            raise ValueError("request['query'] must be exactly one query kind")
+        blocked = {"collapse", "function_score", "rescore", "filter"} & set(request)
+        if blocked:
+            raise ValueError(f"cluster-side-only request parts: {sorted(blocked)}")
+        top_k = int(request.get("top_k", 10))
+        offset = int(request.get("offset", 0))
+        sa = request.get("search_after")
+        sa = (float(sa[0]), int(sa[1])) if sa is not None else None
+        (kind, body), = q.items()
+        if kind == "match":
+            if isinstance(body, dict) and body.get("similarity", "bm25") != "bm25":
+                raise ValueError("only the bm25 similarity serves replica-side")
+            text = body["query"] if isinstance(body, dict) else str(body)
+            return self.query(
+                text, top_k=top_k, positive_only=positive_only,
+                offset=offset, search_after=sa,
+            )
+        if kind == "bool":
+            text = " ".join(
+                ["+" + t for t in body.get("must", [])]
+                + ["-" + t for t in body.get("must_not", [])]
+                + list(body.get("should", []))
+            )
+            return self.query_bool(
+                text, top_k=top_k, positive_only=positive_only,
+                offset=offset, search_after=sa,
+                min_should_match=int(body.get("minimum_should_match", 0)),
+            )
+        if kind == "match_phrase":
+            text = body["query"] if isinstance(body, dict) else str(body)
+            slop = int(body.get("slop", 0)) if isinstance(body, dict) else 0
+            if slop == 0:
+                return self.query_phrase(text, top_k=top_k)
+            n = len(tokenize_py(text))
+            return self.query_near(text, max_span=n + slop, top_k=top_k, ordered=True)
+        if kind in ("prefix", "wildcard"):
+            if kind == "prefix":
+                matched = sorted(t for t in self.idf if t.startswith(str(body)))
+            else:
+                import re as _re
+
+                from .prefix import wildcard_regex
+
+                rx = _re.compile(wildcard_regex(str(body)))
+                matched = sorted(t for t in self.idf if rx.match(t))
+            # same zero-idf gating as query(); each matched term scores once
+            # with its own idf (the Lucene scoring-rewrite, = the cluster
+            # expansion join with qtf=1)
+            qterms = {
+                t: (1, self.idf[t])
+                for t in matched
+                if self.idf[t] != 0.0 or not positive_only
+            }
+            if not qterms:
+                return []
+            return self._score(
+                qterms, top_k, positive_only, None, None,
+                offset=offset, search_after=sa,
+            )
+        if kind == "more_like_this":
+            return self.more_like_this(int(body), top_k=top_k)
+        raise ValueError(f"unsupported query kind: {kind}")
+
     # -- result hydration ----------------------------------------------------
 
     def hydrate(

@@ -495,3 +495,30 @@ def test_cli_serve_explain_request(idx_dir):
         lines[0]["score"], abs=2e-4
     )
     assert "error" in lines[1]  # missing doc_id
+
+
+def test_cli_serve_dsl_request(idx_dir):
+    """{"dsl": {...}} serves the cluster DSL's replica-servable subset; a
+    cluster-only form returns a routing error instead of wrong results."""
+    import json
+    import subprocess
+    import sys
+
+    reader = IndexReader(idx_dir)
+    req1 = {"dsl": {"query": {"match": {"query": "w0005 w0010"}}, "top_k": 4}}
+    req2 = {"dsl": {"query": {"prefix": "w000"}, "top_k": 4}}
+    req3 = {"dsl": {"query": {"match": {"query": "x"}},
+                    "rescore": {"phrase": "y"}}}
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", idx_dir],
+        input="\n".join(json.dumps(r) for r in (req1, req2, req3)) + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    want1 = reader.query_dsl(req1["dsl"], positive_only=True)
+    assert [(h["doc_id"], h["score"]) for h in lines[0]["hits"]] == want1
+    want2 = reader.query_dsl(req2["dsl"], positive_only=True)
+    assert [(h["doc_id"], h["score"]) for h in lines[1]["hits"]] == want2
+    assert "cluster-side-only" in lines[2]["error"]

@@ -777,3 +777,50 @@ def test_reader_explain_matches_cluster_operator(spark, served):
         round(sum(r["contrib"] for r in got["terms"]), 4), abs=2e-4
     )
     assert got["doc_len"] == cluster[0]["doc_len"]
+
+
+def test_reader_query_dsl_matches_cluster_dsl(spark, served):
+    """The SAME DSL request object serves replica-side and cluster-side with
+    identical results (match / bool / prefix / wildcard), and unsupported
+    forms route back to the cluster with a clear error."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.dsl import search_dsl
+
+    index, reader = served
+    base = spark.read.parquet(str(reader.root).replace("/idx", "/corpus"))
+    logical = build_logical_index(assign_doc_ids(base), persist=True)
+    reqs = [
+        {"query": {"match": {"query": "w0005 w0010"}}, "top_k": 8},
+        {"query": {"bool": {"must": ["w0005"], "should": ["w0010", "w0001"],
+                            "minimum_should_match": 1}}, "top_k": 8},
+        {"query": {"prefix": "w000"}, "top_k": 8},
+        {"query": {"wildcard": "w00?5"}, "top_k": 8},
+    ]
+    for req in reqs:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search_dsl(logical, req, positive_only=False)
+            .orderBy("rank")
+            .collect()
+        ]
+        got = reader.query_dsl(req)
+        assert [d for d, _ in got] == [d for d, _ in want], req
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+    # more_like_this routes to the replica implementation
+    src = reader.query("w0005", top_k=1)[0][0]
+    assert reader.query_dsl(
+        {"query": {"more_like_this": src}, "top_k": 5}
+    ) == reader.more_like_this(src, top_k=5)
+
+    # cluster-side-only forms refuse with a routing error
+    with pytest.raises(ValueError, match="cluster-side-only"):
+        reader.query_dsl({"query": {"match": {"query": "x"}},
+                          "collapse": {"field": "site"}})
+    with pytest.raises(ValueError, match="positions"):
+        reader.query_dsl({"query": {"match_phrase": {"query": "w0005 w0010"}}})
+    with pytest.raises(ValueError, match="similarity"):
+        reader.query_dsl({"query": {"match": {"query": "x",
+                                              "similarity": "lm_dirichlet"}}})
