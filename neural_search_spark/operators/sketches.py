@@ -197,3 +197,46 @@ SELECT {gsel}
                   ELSE e_raw END, {rounding}) AS est_distinct
 FROM est
 """
+
+
+def hll_merge_maps_col(maps: Column, p: int = 8) -> Column:
+    """Fold an array of register maps (``map<int,int>`` reg -> max rho) into
+    one by register-wise max — the columnar sketch-merge for rows that carry
+    their sketch as a map column (e.g. a rollup table's per-hour user
+    sketch). Pure codegen: ``aggregate`` + ``map_zip_with``."""
+    empty = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<int>")
+    )
+    return F.aggregate(
+        maps,
+        empty,
+        lambda acc, m: F.map_zip_with(
+            acc, m,
+            lambda _k, a, b: F.greatest(F.coalesce(a, F.lit(0)), F.coalesce(b, F.lit(0))),
+        ),
+    )
+
+
+def hll_estimate_from_map(regs: Column, p: int = 8, rounding: int = 4) -> Column:
+    """Finish a map-column sketch into the distinct-count estimate — the
+    same exact-integer harmonic sum + linear-counting arithmetic as
+    :func:`hll_estimate`, as a single codegen expression over
+    ``map<int,int>``."""
+    m = 2**p
+    tail = 48 - p
+    s_scaled = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.pow(
+            F.lit(2.0), F.lit(tail) - F.coalesce(F.element_at(regs, r), F.lit(0))
+        ).cast("long"),
+    )
+    v = F.lit(m) - F.size(regs)
+    alpha = F.expr(_ALPHA_EXPR.format(m=m))
+    e_raw = alpha * F.lit(float(m * m)) * F.lit(float(2**tail)) / s_scaled
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return F.round(est, rounding)

@@ -8,12 +8,14 @@ rollup costs O(batch), not O(history). Downstream queries (daily/weekly
 stats, dashboards) read the rollup — hours-of-events per row instead of raw
 events — which is the point at 10^12-event scale.
 
-Only MERGEABLE aggregates live in the rollup (count, sum, min, max):
-partials from any batch split combine associatively, so the rollup equals
-the from-raw aggregate exactly (tested). Non-mergeable measures (exact
-distinct users) intentionally stay out — at scale you'd store an HLL/theta
-sketch per row; the exact variant lives in the batch entry
-(pipeline_entry.q_events_windowed).
+Only MERGEABLE aggregates live in the rollup (count, sum, min, max, and the
+HLL register map for distinct users): partials from any batch split combine
+associatively, so the rollup equals the from-raw aggregate exactly (tested).
+Exact distinct counts are NOT mergeable and stay out; the sketch column
+(``user_regs``, a <= 2^p-entry map per row merged register-wise) gives the
+distinct-users estimate at any granularity — per hour, per day, per week —
+without ever re-reading raw events, which is the point of a continuous
+aggregate at 10^12-event scale.
 """
 
 from __future__ import annotations
@@ -24,22 +26,47 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ROLLUP_COLS = ["day", "hour", "event_type", "n_events", "sum_value", "min_value", "max_value"]
+from ..operators.sketches import (
+    hll_estimate_from_map,
+    hll_merge_maps_col,
+    hll_register_rho,
+)
+
+ROLLUP_COLS = [
+    "day", "hour", "event_type",
+    "n_events", "sum_value", "min_value", "max_value", "user_regs",
+]
 
 
 def _hourly_partials(events: DataFrame) -> DataFrame:
-    return (
-        events.groupBy(
+    metrics = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    reg, rho = hll_register_rho(F.col("user_id"))
+    sketches = (
+        events.select(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
+            reg.cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
         )
+        .groupBy("hour", "event_type", "reg")
+        .agg(F.max("rho").alias("mreg"))
+        .groupBy("hour", "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("reg"), F.col("mreg")))
+            ).alias("user_regs")
         )
-        .withColumn("day", F.to_date("hour"))
+    )
+    return metrics.join(sketches, ["hour", "event_type"]).withColumn(
+        "day", F.to_date("hour")
     )
 
 
@@ -66,6 +93,7 @@ def _merge_into_rollup(spark: SparkSession, rollup_dir: str, partials: DataFrame
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
+        hll_merge_maps_col(F.collect_list("user_regs")).alias("user_regs"),
     ).select(*ROLLUP_COLS)
 
     staging = rollup_dir + "__staging"
@@ -112,3 +140,20 @@ def daily_from_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def distinct_users_from_rollup(
+    spark: SparkSession, rollup_dir: str, by: str = "day"
+) -> DataFrame:
+    """(day|hour, event_type, est_users): HLL distinct-user estimates at any
+    rollup granularity, from the stored register maps alone — merging hour
+    sketches register-wise IS the sketch of the union, so the daily estimate
+    equals a from-raw daily sketch exactly (tested) while reading
+    hours-of-events-sized rows."""
+    grp = ["day", "event_type"] if by == "day" else ["hour", "event_type"]
+    merged = (
+        spark.read.parquet(rollup_dir)
+        .groupBy(*grp)
+        .agg(hll_merge_maps_col(F.collect_list("user_regs")).alias("regs"))
+    )
+    return merged.select(*grp, hll_estimate_from_map(F.col("regs")).alias("est_users"))

@@ -281,3 +281,42 @@ def test_windowed_distinct_hll_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 10
+
+
+def test_rollup_sketch_daily_distinct_matches_raw(spark, tmp_path):
+    """The rollup's HLL register maps, merged across hours, give EXACTLY the
+    estimate a from-raw daily sketch gives — distinct users at any rollup
+    granularity without re-reading events."""
+    from neural_search_spark.operators.sketches import hll_estimate, hll_partial
+    from neural_search_spark.streaming.ingest import EVENTS_SCHEMA
+    from neural_search_spark.streaming.rollup import (
+        distinct_users_from_rollup,
+        rollup_events_stream,
+    )
+
+    events_path = str(tmp_path / "events")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.repartition(6).write.parquet(events_path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_path)
+    )
+    rollup_dir = str(tmp_path / "rollup")
+    q = rollup_events_stream(stream, rollup_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = {
+        (str(r["day"]), r["event_type"]): r["est_users"]
+        for r in distinct_users_from_rollup(spark, rollup_dir).collect()
+    }
+    daily_raw = raw.withColumn("day", F.to_date("ts"))
+    want = {
+        (str(r["day"]), r["event_type"]): r["est_distinct"]
+        for r in hll_estimate(
+            hll_partial(daily_raw, "user_id", ["day", "event_type"]),
+            ["day", "event_type"],
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 5
