@@ -417,7 +417,7 @@ def cmd_serve(args) -> int:
                         hits = reader.query_dsl(
                             dict(req["dsl"]), positive_only=not args.match_all
                         )
-                    except (KeyError, ValueError, TypeError) as e:
+                    except (KeyError, ValueError, TypeError, AttributeError) as e:
                         print(json.dumps({"error": str(e)}), flush=True)
                         continue
                     print(
@@ -443,7 +443,7 @@ def cmd_serve(args) -> int:
                             ),
                             flush=True,
                         )
-                    except (KeyError, ValueError) as e:
+                    except (KeyError, ValueError, TypeError) as e:
                         print(json.dumps({"error": str(e)}), flush=True)
                     continue
                 if "percolate" in req:

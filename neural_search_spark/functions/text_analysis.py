@@ -439,19 +439,28 @@ def collocations(
     ratio of exact counts, rounded — cross-engine reproducible.
     """
     toks = corpus.select(tokens_col(F.col(text_col)).alias("t"))
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "transform(slice(t, 1, size(t) - 1),"
-                " (x, i) -> struct(x AS a, element_at(t, i + 2) AS b))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # guard: slice() rejects a negative length, so docs with < 2 tokens
+    # (incl. empty text) must not reach the bigram transform
+    pairs = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS a, element_at(t, i + 2) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    # one tokenize pass feeds both counts; the aggregated tables are
+    # vocabulary-bounded, so the scalar totals read them, not the corpus
+    cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).persist()
     uni = (
         toks.select(F.explode("t").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     total_t = float(uni.agg(F.sum("c")).collect()[0][0] or 0)
     total_b = float(cab.agg(F.sum("c_ab")).collect()[0][0] or 0)

@@ -113,12 +113,15 @@ def chunk_manifest(packed: DataFrame, budget: int) -> DataFrame:
     """(chunk_id, n_docs, n_tokens): how many documents and tokens land in
     each training chunk — the export-side manifest. A doc spanning k chunks
     counts toward each; token attribution is exact per-chunk overlap.
+    Zero-token docs occupy no tokens and are excluded (consistent with
+    :func:`export_chunks` — otherwise a trailing empty doc anchored on an
+    exact budget boundary would manifest a chunk the export never writes).
 
     One explode bounded by (tokens / budget) extra rows corpus-wide (each doc
     spans ceil(len/budget)+1 chunks at most), then one bounded groupBy.
     """
     b = int(budget)
-    spans = packed.select(
+    spans = packed.where(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_tokens",
         "tok_start",

@@ -41,8 +41,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3).
-_ALPHA_EXPR = "0.7213 / (1.0 + 1.079 / {m})"
+# alpha_m (Flajolet et al. 2007, fig. 3): tabulated for small m, the
+# asymptotic formula for m >= 128. Rendered as a literal so the Spark
+# expression and the SQL mirror parse the identical double.
+_ALPHA_SMALL = {16: "0.673", 32: "0.697", 64: "0.709"}
+
+
+def _alpha_expr(m: int) -> str:
+    return _ALPHA_SMALL.get(m, f"0.7213 / (1.0 + 1.079 / {m})")
 
 
 def hll_register_rho(value: Column, p: int = 8, hash_bits: int = 48) -> tuple[Column, Column]:
@@ -116,7 +122,7 @@ def hll_estimate(
         ),
         F.count(F.lit(1)).alias("n_regs"),
     )
-    alpha = F.expr(_ALPHA_EXPR.format(m=m))
+    alpha = F.expr(_alpha_expr(m))
     e_raw = alpha * F.lit(float(m * m)) * F.lit(float(2**tail_bits)) / (
         # empty registers contribute 2^tail_bits each to the unscaled sum
         F.col("s_scaled") + (F.lit(m) - F.col("n_regs")) * F.lit(2**tail_bits)
@@ -164,7 +170,7 @@ def hll_sql(
     gsel = "".join(f"{g}, " for g in group_exprs)
     gby = ("GROUP BY " + ", ".join(group_exprs)) if group_exprs else ""
     gby_reg = "GROUP BY " + ", ".join([*group_exprs, "reg"])
-    alpha = _ALPHA_EXPR.format(m=m)
+    alpha = _alpha_expr(m)
     return f"""
 hashed AS (
   SELECT {gsel}
@@ -199,7 +205,7 @@ FROM est
 """
 
 
-def hll_merge_maps_col(maps: Column, p: int = 8) -> Column:
+def hll_merge_maps_col(maps: Column) -> Column:
     """Fold an array of register maps (``map<int,int>`` reg -> max rho) into
     one by register-wise max — the columnar sketch-merge for rows that carry
     their sketch as a map column (e.g. a rollup table's per-hour user
@@ -233,7 +239,7 @@ def hll_estimate_from_map(regs: Column, p: int = 8, rounding: int = 4) -> Column
         ).cast("long"),
     )
     v = F.lit(m) - F.size(regs)
-    alpha = F.expr(_ALPHA_EXPR.format(m=m))
+    alpha = F.expr(_alpha_expr(m))
     e_raw = alpha * F.lit(float(m * m)) * F.lit(float(2**tail)) / s_scaled
     est = F.when(
         (e_raw <= F.lit(2.5 * m)) & (v > 0),

@@ -3015,10 +3015,10 @@ FROM ranked WHERE rank <= least(top_k, {_RESCORE_WINDOW})
 SQL_RESCORE_TOPK = _rescore_sql()
 
 
-# DSL: three request forms (flat match, bool+minimum_should_match,
-# function_score) compiled by query/dsl.py and unioned with a req_id; the
-# oracle is the UNION ALL of the per-request SQL. Proves the compiler maps
-# each form onto the exact dedicated-operator semantics.
+# DSL: four request forms (flat match, bool+minimum_should_match,
+# function_score, filtered match) compiled by query/dsl.py and unioned with
+# a req_id; the oracle is the UNION ALL of the per-request SQL. Proves the
+# compiler maps each form onto the exact dedicated-operator semantics.
 _DSL_REQUESTS: list[dict] = [
     {"query": {"match": {"query": "window merge table"}}, "top_k": 8},
     {"query": {"bool": {"must": ["zq1"], "should": ["window", "merge"],

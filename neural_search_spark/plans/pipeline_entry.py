@@ -1885,6 +1885,7 @@ spans AS (
   FROM packed p, LATERAL (
     SELECT unnest(generate_series(p.chunk_start, p.chunk_end)) AS chunk_id
   ) u
+  WHERE p.n_tokens > 0
 )
 SELECT chunk_id, count(*) AS n_docs,
        sum(greatest(

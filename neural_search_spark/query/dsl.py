@@ -68,7 +68,10 @@ def search_dsl(
     spark = index.doc_terms.sparkSession
     q = request.get("query")
     if not isinstance(q, dict) or len(q) != 1:
-        raise ValueError("request['query'] must be exactly one of match|bool")
+        raise ValueError(
+            "request['query'] must be exactly one of match|bool|match_phrase|"
+            "prefix|wildcard|boosted|more_like_this"
+        )
     top_k = int(request.get("top_k", 10))
     shapers = [k for k in _SHAPERS if k in request]
     if len(shapers) > 1:

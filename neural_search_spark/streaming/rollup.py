@@ -39,34 +39,41 @@ ROLLUP_COLS = [
 
 
 def _hourly_partials(events: DataFrame) -> DataFrame:
-    metrics = events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    )
+    # ONE scan: every metric is mergeable, so aggregating at the finer
+    # (hour, event_type, register) grain first and re-aggregating to
+    # (hour, event_type) computes metrics + the register map without a
+    # second pass or a join (registers partition the events, so the metric
+    # re-aggregation is exact).
     reg, rho = hll_register_rho(F.col("user_id"))
-    sketches = (
+    fine = (
         events.select(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
             reg.cast("int").alias("reg"),
             rho.cast("int").alias("rho"),
+            "value",
         )
         .groupBy("hour", "event_type", "reg")
-        .agg(F.max("rho").alias("mreg"))
-        .groupBy("hour", "event_type")
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("reg"), F.col("mreg")))
-            ).alias("user_regs")
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max("rho").alias("mreg"),
         )
     )
-    return metrics.join(sketches, ["hour", "event_type"]).withColumn(
-        "day", F.to_date("hour")
+    return (
+        fine.groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("reg"), F.col("mreg")))
+            ).alias("user_regs"),
+        )
+        .withColumn("day", F.to_date("hour"))
     )
 
 

@@ -509,10 +509,14 @@ def test_cli_serve_dsl_request(idx_dir):
     req2 = {"dsl": {"query": {"prefix": "w000"}, "top_k": 4}}
     req3 = {"dsl": {"query": {"match": {"query": "x"}},
                     "rescore": {"phrase": "y"}}}
+    # malformed bodies must produce error LINES, never kill the replica loop
+    req4 = {"dsl": {"query": {"bool": "not-a-dict"}}}
+    req5 = {"explain": "w0005"}  # missing doc_id
     proc = subprocess.run(
         [sys.executable, "-m", "neural_search_spark.cli", "serve",
          "--index", idx_dir],
-        input="\n".join(json.dumps(r) for r in (req1, req2, req3)) + "\n",
+        input="\n".join(json.dumps(r) for r in (req1, req2, req3, req4, req5))
+        + "\n" + json.dumps(req1) + "\n",
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr
@@ -522,3 +526,6 @@ def test_cli_serve_dsl_request(idx_dir):
     want2 = reader.query_dsl(req2["dsl"], positive_only=True)
     assert [(h["doc_id"], h["score"]) for h in lines[1]["hits"]] == want2
     assert "cluster-side-only" in lines[2]["error"]
+    assert "error" in lines[3] and "error" in lines[4]
+    # the loop survived the malformed requests and still answers
+    assert [(h["doc_id"], h["score"]) for h in lines[5]["hits"]] == want1

@@ -751,3 +751,18 @@ def test_ann_sq8_prequantized_identical(spark, emb, emb_queries):
         emb, emb_queries, top_k=10, candidates=40, quantized=pre
     ).collect()
     assert sorted(map(tuple, via_table)) == sorted(map(tuple, inline))
+
+
+def test_collocations_tolerates_empty_and_short_docs(spark):
+    """Docs with < 2 tokens (incl. empty text) must not crash the bigram
+    transform (slice() rejects negative lengths) nor perturb the counts."""
+    from neural_search_spark.functions.text_analysis import collocations
+
+    base = [(i, "visit los angeles today") for i in range(10)]
+    with_empties = base + [(100, ""), (101, "   "), (102, "single")]
+    got_a = {r["bigram"]: r["c_ab"] for r in collocations(
+        spark.createDataFrame(base, "doc_id long, text string"), min_count=2).collect()}
+    got_b = {r["bigram"]: r["c_ab"] for r in collocations(
+        spark.createDataFrame(with_empties, "doc_id long, text string"), min_count=2).collect()}
+    assert got_a == got_b
+    assert got_a["los angeles"] == 10
