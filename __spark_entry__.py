@@ -26,9 +26,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return driver_entry.q_bm25_topk_all(spark, "/root/testdata/sf0.001")
 
 
+# Driver-gate rotation: CORRECTNESS_r02 covered exactly the first 50 keys of the
+# merged dict, leaving 43 entries without a round-2 row. Order the dict so the
+# never-driver-checked entries come first, then the r01-only entries (their
+# modules changed since r01), then the r02-green 50 — one round rotates full
+# coverage even if the gate caps at 50 entries.
+_PRIORITY = [
+    # never driver-checked (r01 ∪ r02 miss)
+    "bm25_topk_stem_wand",
+    "phrase_topk_indexed",
+    "proximity_topk_indexed",
+    "ordered_near_topk",
+    "ordered_near_topk_indexed",
+    "dedup_spans",
+    "decontaminate",
+    "ann_topk_sq8",
+    "emb_near_dup_lsh",
+    "select_token_budget",
+    "text_perplexity",
+    "text_dedup_lines",
+    "text_strip_boilerplate",
+    "text_scrub_pii",
+    "pipeline_clean",
+    "url_host_stats",
+    "url_cap_per_domain",
+    "url_sample_domains",
+    "events_distinct_hll",
+    "sketch_cardinality",
+    "text_collocations",
+    "pack_sequences",
+    "pack_chunks",
+    "pack_export",
+    # green in r01 only; modules edited since
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "emb_cosine_pairs",
+    "text_token_profile",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_repetition",
+    "media_stats",
+    "media_decode",
+    "events_windowed",
+    "events_sessions",
+    "events_daily",
+]
+
+
+def _ordered(merged: dict) -> dict:
+    head = {k: merged[k] for k in _PRIORITY if k in merged}
+    return {**head, **{k: v for k, v in merged.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**driver_entry.base_queries(), **pipeline_entry.pipeline_queries()}
+    return _ordered({**driver_entry.base_queries(), **pipeline_entry.pipeline_queries()})
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**driver_entry.base_oracles(), **pipeline_entry.pipeline_oracles()}
+    return _ordered({**driver_entry.base_oracles(), **pipeline_entry.pipeline_oracles()})

@@ -285,8 +285,11 @@ def main() -> None:
     # the headline total sums the ROUND-1 workload set only, so `value` stays
     # comparable across rounds as workloads are added; new ops still appear in
     # `queries` and in `total_all_ops`.
+    # NOTE: wand_topk_pos intentionally absent — BENCH_r01.json never measured
+    # it, so including it here would overstate cross-round deltas. It still
+    # counts toward total_all_ops.
     r01_keys = {
-        "index_build", "wand_topk", "df_batch_topk", "wand_topk_pos",
+        "index_build", "wand_topk", "df_batch_topk",
         "dedup_minhash_lsh", "dedup_simhash", "ann_topk_brute",
         "text_quality", "text_fingerprints", "text_repetition",
     }

@@ -38,6 +38,30 @@ def _spark(app: str):
     return SparkSession.builder.appName(app).getOrCreate()
 
 
+# Serving-boundary request bounds, mirroring the reference's API schemas:
+# top_k ∈ [1, MAX_TOP_K] (api/schemas.py:58-73), ≤100 queries per batch
+# request (api/search.py:89-98). Out-of-range is a request ERROR line (the
+# analog of the reference's 422), never a silent clamp — callers must see
+# their bound.
+from .config import MAX_TOP_K
+
+BATCH_MAX = 100
+
+
+def _req_top_k(req: dict, default: int) -> int:
+    k = int(req.get("top_k", default))
+    if not 1 <= k <= MAX_TOP_K:
+        raise ValueError(f"top_k must be in [1, {MAX_TOP_K}], got {k}")
+    return k
+
+
+def _req_query_text(req: dict) -> str:
+    text = req["query"]
+    if not isinstance(text, str) or not text.strip():
+        raise ValueError("query must be a non-empty string")
+    return text
+
+
 def _layout(args):
     from .config import DEFAULT_LAYOUT, IndexLayout
 
@@ -199,6 +223,22 @@ def cmd_batch_query(args) -> int:
     return 0
 
 
+def cmd_collections(args) -> int:
+    """Named-collection catalog verbs (no Spark): the reference's
+    vector-store collection surface (storage/vector_store.py:15-77) over
+    index roots under ``--base``. Errors are one JSON line + exit 1 so the
+    command composes in scripts like the other verbs."""
+    from .index.collections import CollectionCatalog, main_lines
+
+    try:
+        for line in main_lines(CollectionCatalog(args.base), args.verb, args.name):
+            print(line)
+    except (KeyError, ValueError) as e:
+        print(json.dumps({"error": str(e).strip("'")}))
+        return 1
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection without Spark (the ES ``_stats`` analog): global
     stats, layout, analysis binding, shard count, and on-disk posting bytes
@@ -233,8 +273,8 @@ def cmd_stats(args) -> int:
         out["positions_bytes"] = int(
             sum(r.get("positions_bytes") or 0 for r in m)
         )
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 — extras are best-effort, but say why
+        print(f"warning: _metrics extras unavailable: {e}", file=sys.stderr)
     print(json.dumps(out))
     return 0
 
@@ -320,7 +360,7 @@ def cmd_serve(args) -> int:
                         continue
                     try:
                         ph = reader.query_phrase(
-                            req["phrase"], top_k=int(req.get("top_k", args.top_k))
+                            req["phrase"], top_k=_req_top_k(req, args.top_k)
                         )
                     except ValueError as e:
                         print(json.dumps({"error": str(e)}), flush=True)
@@ -348,7 +388,7 @@ def cmd_serve(args) -> int:
                     try:
                         nh = reader.query_near(
                             req["near"], max_span=int(req["span"]),
-                            top_k=int(req.get("top_k", args.top_k)),
+                            top_k=_req_top_k(req, args.top_k),
                             ordered=bool(req.get("ordered")),
                         )
                     except ValueError as e:
@@ -417,7 +457,10 @@ def cmd_serve(args) -> int:
                         hits = reader.query_dsl(
                             dict(req["dsl"]), positive_only=not args.match_all
                         )
-                    except (KeyError, ValueError, TypeError, AttributeError) as e:
+                    # AttributeError deliberately NOT caught: capability
+                    # probing is done via hasattr above, so one here is an
+                    # internal bug that must surface, not a request error.
+                    except (KeyError, ValueError, TypeError) as e:
                         print(json.dumps({"error": str(e)}), flush=True)
                         continue
                     print(
@@ -467,12 +510,16 @@ def cmd_serve(args) -> int:
                     if not hasattr(reader, "more_like_this"):
                         print(json.dumps({"error": "more_like_this not supported on a multi-partition replica"}), flush=True)
                         continue
-                    hits = reader.more_like_this(
-                        int(req["more_like_this"]),
-                        m=int(req.get("m", 10)),
-                        top_k=int(req.get("top_k", args.top_k)),
-                        positive_only=not args.match_all,
-                    )
+                    try:
+                        hits = reader.more_like_this(
+                            int(req["more_like_this"]),
+                            m=int(req.get("m", 10)),
+                            top_k=_req_top_k(req, args.top_k),
+                            positive_only=not args.match_all,
+                        )
+                    except ValueError as e:
+                        print(json.dumps({"error": str(e)}), flush=True)
+                        continue
                     print(
                         json.dumps(
                             {
@@ -505,8 +552,37 @@ def cmd_serve(args) -> int:
                         flush=True,
                     )
                     continue
-                text = req["query"]
-                top_k = int(req.get("top_k", args.top_k))
+                if "queries" in req:
+                    # batch search — the reference's POST /search/batch
+                    # (api/search.py:89-98): up to BATCH_MAX queries per
+                    # request, one hits array per query, same snapshot
+                    qs = req["queries"]
+                    if not isinstance(qs, list) or not qs:
+                        raise ValueError("queries must be a non-empty list")
+                    if len(qs) > BATCH_MAX:
+                        raise ValueError(
+                            f"batch is limited to {BATCH_MAX} queries, got {len(qs)}"
+                        )
+                    bk = _req_top_k(req, args.top_k)
+                    results = []
+                    for q in qs:
+                        if not isinstance(q, str) or not q.strip():
+                            raise ValueError("every batch query must be a non-empty string")
+                        bh = reader.query(
+                            q, top_k=bk, positive_only=not args.match_all
+                        )
+                        results.append(
+                            {
+                                "query": q,
+                                "hits": [
+                                    {"doc_id": d, "score": s} for d, s in bh
+                                ],
+                            }
+                        )
+                    print(json.dumps({"results": results}), flush=True)
+                    continue
+                text = _req_query_text(req)
+                top_k = _req_top_k(req, args.top_k)
                 allowed = req.get("filter_ids")
                 use_bool = bool(req.get("bool"))
                 msm = int(req.get("minimum_should_match", 0))
@@ -691,6 +767,12 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("--out", required=True)
     bq.add_argument("--match-all", action="store_true")
     bq.set_defaults(fn=cmd_batch_query)
+
+    co = sub.add_parser("collections")
+    co.add_argument("verb", choices=["list", "create", "exists", "stats", "delete"])
+    co.add_argument("--base", required=True, help="directory holding named index roots")
+    co.add_argument("--name", default=None)
+    co.set_defaults(fn=cmd_collections)
 
     stt = sub.add_parser("stats")
     stt.add_argument("--index", required=True)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark import StorageLevel, TaskContext
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -52,6 +52,14 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     spark = doc_tokens.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Eager localCheckpoint (not persist): the kernel below correlates
+    # spark_partition_id across TWO jobs, so the partitioning must be pinned.
+    # A persisted plan can lose cached partitions and recompute through
+    # repartitionByRange, which re-samples range boundaries — rows could move
+    # between partitions after the offsets were collected, silently shifting
+    # tok_start. Checkpointing truncates the lineage (no recompute path) and
+    # its blocks are released with the DataFrame, so nothing leaks in
+    # long-lived sessions. Same pattern as index/maintenance.py.
     parts = (
         doc_tokens.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -59,8 +67,8 @@ def pack_sequences(
         )
         .repartitionByRange(n, F.col("doc_id"))
         .sortWithinPartitions("doc_id")
+        .localCheckpoint(eager=True)
     )
-    parts.persist(StorageLevel.MEMORY_AND_DISK)
 
     sums = (
         parts.groupBy(F.spark_partition_id().alias("pid"))

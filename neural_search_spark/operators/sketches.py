@@ -18,8 +18,10 @@ Design (m = 2^p registers, 48-bit hash):
   w     = h mod 2^(48-p)                             (remaining bits)
   rho   = (48-p) - bitlen(w) + 1, or (48-p)+1 if w=0 (leading-zero run + 1)
   M_reg = max(rho) per register                      [shuffle 1: m-bounded]
-  S     = sum over registers of 2^((48-p) - M_reg)   (EXACT integer — the
-          harmonic sum scaled by 2^(48-p), so no float-order sensitivity)
+  S     = sum over registers of 2^((48-p) - M_reg)   (integer — the harmonic
+          sum scaled by 2^(48-p), so no float-order sensitivity; the one
+          M_reg = (48-p)+1 case truncates its 0.5 term to 0 identically on
+          both engines — see the note in finish_sketch)
   E_raw = alpha_m * m^2 * 2^(48-p) / S
   E     = m * ln(m / V) when E_raw <= 2.5m and V > 0  (linear counting,
           V = empty registers), else E_raw.
@@ -116,6 +118,11 @@ def hll_estimate(
     tail_bits = 48 - p
     # Exact-integer harmonic sum: sum(2^(tail_bits - M)) <= m * 2^(tail_bits-1)
     # < 2^63 for every allowed p. pow(2.0, k) is exact for k <= 52.
+    # One accepted approximation: a register can reach M = tail_bits + 1
+    # (hash tail all zeros, probability ~2^-tail_bits), whose 2^-1 = 0.5
+    # contribution truncates to 0 on the long cast. Spark's cast and DuckDB's
+    # round-half-even cast both yield 0, so the engines stay bit-identical;
+    # the estimate is infinitesimally biased high in that case, not "exact".
     folded = partials.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), F.lit(tail_bits) - F.col("mreg")).cast("long")).alias(
             "s_scaled"

@@ -95,12 +95,29 @@ def field_lengths(fielded_terms: DataFrame) -> DataFrame:
     )
 
 
-def avg_field_lengths(flen: DataFrame, n_docs: int) -> dict[str, float]:
+def avg_field_lengths(fielded_terms: DataFrame, n_docs: int) -> dict[str, float]:
     """Per-field average length over ALL N docs (missing field counts as 0),
     collected driver-side (one tiny row per field) so the norm divisor is a
-    literal in the scoring expression — same role as avgdl in the flat path."""
-    rows = flen.groupBy("field").agg(F.sum("field_len").alias("total")).collect()
+    literal in the scoring expression — same role as avgdl in the flat path.
+
+    Aggregates ``fielded_terms`` directly (sum of tf per field) so no
+    intermediate needs to be persisted for this eager stat: the lazy
+    ``field_lengths`` relation is computed exactly once inside the final
+    scoring plan, and this one-row-per-field agg is its own tiny job."""
+    rows = fielded_terms.groupBy("field").agg(F.sum("tf").alias("total")).collect()
     return {r["field"]: float(r["total"]) / float(n_docs) for r in rows}
+
+
+def _check_fields_covered(avgfl: dict[str, float], params: BM25FParams) -> None:
+    """Rows whose field value has no FieldSpec would get a null weight and
+    silently vanish from the aggregates; make that an error instead."""
+    unknown = sorted(set(avgfl) - set(params.fields))
+    if unknown:
+        raise ValueError(
+            f"fielded_terms contains fields {unknown} not covered by "
+            f"params.fields {sorted(params.fields)}; rows in uncovered "
+            "fields would be silently dropped from scoring"
+        )
 
 
 def bm25f_topk(
@@ -118,8 +135,9 @@ def bm25f_topk(
     with ``score_rounding`` every rank boundary is decided on the rounded
     score (the oracle-reconciliation contract shared by the physical paths).
     """
-    flen = field_lengths(fielded_terms).persist()
-    avgfl = avg_field_lengths(flen, index.stats.n_docs)
+    avgfl = avg_field_lengths(fielded_terms, index.stats.n_docs)
+    _check_fields_covered(avgfl, params)
+    flen = field_lengths(fielded_terms)
 
     qt = query_terms(queries)
     q_idf = qt.join(index.terms.select("term", "idf"), "term", "inner")
@@ -195,8 +213,9 @@ def dis_max_topk(
     aggregate then one (query, doc) aggregate — nested grains, both
     partial-agg friendly, no shuffle beyond the flat path's.
     """
-    flen = field_lengths(fielded_terms).persist()
-    avgfl = avg_field_lengths(flen, index.stats.n_docs)
+    avgfl = avg_field_lengths(fielded_terms, index.stats.n_docs)
+    _check_fields_covered(avgfl, params)
+    flen = field_lengths(fielded_terms)
 
     qt = query_terms(queries)
     q_idf = qt.join(index.terms.select("term", "idf"), "term", "inner")

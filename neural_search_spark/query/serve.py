@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..config import MAX_TOP_K
 from ..functions.tokenize import _TOKEN_RE, tokenize_py
 from .cache import TtlLruCache
 
@@ -545,6 +546,11 @@ class IndexReader:
         if blocked:
             raise ValueError(f"cluster-side-only request parts: {sorted(blocked)}")
         top_k = int(request.get("top_k", 10))
+        # request-boundary bound, mirroring the reference's api/schemas.py:58-73
+        # (top_k ∈ [1,100]); internal callers with a legitimate larger fetch
+        # (e.g. the tie-margin) use the method APIs, not the request object
+        if not 1 <= top_k <= MAX_TOP_K:
+            raise ValueError(f"top_k must be in [1, {MAX_TOP_K}], got {top_k}")
         offset = int(request.get("offset", 0))
         sa = request.get("search_after")
         sa = (float(sa[0]), int(sa[1])) if sa is not None else None

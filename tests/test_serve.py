@@ -824,3 +824,59 @@ def test_reader_query_dsl_matches_cluster_dsl(spark, served):
     with pytest.raises(ValueError, match="similarity"):
         reader.query_dsl({"query": {"match": {"query": "x",
                                               "similarity": "lm_dirichlet"}}})
+
+
+def test_cli_serve_request_bounds(served):
+    """Serving-boundary validation parity with the reference's API schemas:
+    top_k outside [1,100] (api/schemas.py:58-73), empty query strings, and
+    >100-query batches (api/search.py:89-98) are ERROR LINES — the loop keeps
+    serving — while a valid batch answers every query."""
+    import json
+    import subprocess
+    import sys
+
+    _, reader = served
+    lines = [
+        json.dumps({"query": "w0005", "top_k": 0}),
+        json.dumps({"query": "w0005", "top_k": 101}),
+        json.dumps({"query": "   "}),
+        json.dumps({"phrase": "w0005 w0010", "top_k": 500}),
+        json.dumps({"queries": ["w0005 w0010", "w0001"], "top_k": 3}),
+        json.dumps({"queries": ["w0005"] * 101}),
+        json.dumps({"queries": []}),
+        json.dumps({"query": "w0005 w0010", "top_k": 3}),  # loop still alive
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", reader.root],
+        input="\n".join(lines) + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    assert len(out) == len(lines)
+    assert "top_k must be in [1, 100]" in out[0]["error"]
+    assert "top_k must be in [1, 100]" in out[1]["error"]
+    assert "non-empty" in out[2]["error"]
+    assert "top_k must be in [1, 100]" in out[3]["error"]
+    batch = out[4]["results"]
+    assert [r["query"] for r in batch] == ["w0005 w0010", "w0001"]
+    # batch answers == the single-query path on the same snapshot
+    expect = reader.query("w0005 w0010", top_k=3)
+    assert [(h["doc_id"], h["score"]) for h in batch[0]["hits"]] == [
+        (d, s) for d, s in expect
+    ]
+    assert "limited to 100" in out[5]["error"]
+    assert "non-empty list" in out[6]["error"]
+    assert len(out[7]["hits"]) == 3
+
+
+def test_reader_query_dsl_top_k_bound(served):
+    """The replica's request-object boundary rejects out-of-range top_k."""
+    import pytest as _pytest
+
+    _, reader = served
+    with _pytest.raises(ValueError, match=r"top_k must be in \[1, 100\]"):
+        reader.query_dsl({"query": {"match": "w0005"}, "top_k": 0})
+    with _pytest.raises(ValueError, match=r"top_k must be in \[1, 100\]"):
+        reader.query_dsl({"query": {"match": "w0005"}, "top_k": 1000})
