@@ -32,6 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # modules changed since r01), then the r02-green 50 — one round rotates full
 # coverage even if the gate caps at 50 entries.
 _PRIORITY = [
+    # new in round 3 (never driver-checked)
+    "fuzzy_topk",
+    "facet_cardinality",
+    "split_train_eval",
     # never driver-checked (r01 ∪ r02 miss)
     "bm25_topk_stem_wand",
     "phrase_topk_indexed",

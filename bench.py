@@ -278,6 +278,10 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
 
+    if "--serve-latency" in sys.argv:
+        print(json.dumps({"serve_latency": run_serve_latency()}))
+        return
+
     spark = _fresh_spark(f"local[{cores}]", cores)
     timings = run_suite(spark, sf_dir, cores)
     extras = {k[1:]: v for k, v in timings.items() if k.startswith("_")}
@@ -449,6 +453,67 @@ def run_scale_point(
         if line.startswith("SCALE_RESULT "):
             return json.loads(line[len("SCALE_RESULT "):])
     raise RuntimeError(f"scale point failed (cores={cores}): {proc.stderr[-2000:]}")
+
+
+def run_serve_latency(points=(10_000, 100_000), reps: int = 200) -> dict:
+    """Serving latency at the reference's published measurement points
+    (README.md:162-166: P50 < 5 ms at 10K docs, < 10 ms at 100K docs) on a
+    NON-degenerate corpus (the 2000-term Zipf synthetic — the driver
+    testdata's 31-term vocabulary makes every posting list ~N/2 docs long,
+    a worst case the reference never measured). Reports warm P50/P99 ms per
+    corpus size over a mixed head/mid/tail query set, reference mode
+    (positive_only, top_k=10)."""
+    import itertools
+    import statistics
+
+    from neural_search_spark.corpus import write_corpus_parquet
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.query.cache import TtlLruCache
+    from neural_search_spark.query.serve import IndexReader
+
+    # head/mid/tail term pool; every timed request is a DISTINCT query string
+    # (whole-result cache can never hit) over warmed terms (posting decodes
+    # cached — the replica equivalent of the reference holding its whole
+    # rank-bm25 matrix in process RAM).
+    pool = ["w0000", "w0003", "w0007", "w0019", "w0044",
+            "w0050", "w0123", "w0300", "w0452", "w1500"]
+    queries = [f"{a} {b}" for a, b in itertools.permutations(pool, 2)] + [
+        " ".join(c) for c in itertools.combinations(pool, 3)
+    ]  # 210 distinct strings >= default reps
+    out: dict[str, dict] = {}
+    spark = _fresh_spark("local[8]", 8)
+    roots = {}
+    for n_docs in points:
+        root = f"/tmp/nss_serve_lat_{n_docs}"
+        if not os.path.exists(os.path.join(root, "idx", "_checkpoint.json")):
+            shutil.rmtree(root, ignore_errors=True)
+            write_corpus_parquet(spark, os.path.join(root, "corpus"), n_docs=n_docs)
+            corpus = assign_doc_ids(spark.read.parquet(os.path.join(root, "corpus")))
+            build_index(corpus, os.path.join(root, "idx"), id_col="doc_id", waves=2)
+        roots[n_docs] = os.path.join(root, "idx")
+    spark.stop()
+
+    for n_docs, idx_root in roots.items():
+        reader = IndexReader(
+            idx_root, cache=TtlLruCache(max_entries=100_000, ttl=3600.0)
+        )
+        for t in pool:  # warm the term-level decode cache
+            reader.query(t, top_k=10)
+        lat: list[float] = []
+        for i in range(reps):
+            q = queries[i % len(queries)]
+            t0 = time.perf_counter()
+            reader.query(q, top_k=10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        out[str(n_docs)] = {
+            "p50_ms": round(statistics.median(lat), 3),
+            "p99_ms": round(lat[int(len(lat) * 0.99) - 1], 3),
+            "mean_ms": round(sum(lat) / len(lat), 3),
+            "reps": reps,
+        }
+    return out
 
 
 def run_scaling(n_docs: int = 400000, cores_pair: tuple[int, int] = (1, 4)) -> dict:

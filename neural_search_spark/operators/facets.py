@@ -246,3 +246,27 @@ def facet_counts(
     return stacked.groupBy(
         query_col, F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def cardinality_facet(
+    results: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    p: int = 8,
+    rounding: int = 4,
+) -> DataFrame:
+    """(query_id, est_distinct): the Elasticsearch ``cardinality``
+    aggregation over each query's result set — "how many distinct
+    ``value_col`` values did my hits touch" — via the deterministic
+    HyperLogLog sketch (``operators/sketches.py``), so the answer costs one
+    m-bounded aggregate instead of an exact COUNT(DISTINCT) shuffle of every
+    distinct value. Same broadcast shape as the other facets: results are
+    query-cardinality, the corpus side is never shuffled.
+    """
+    from .sketches import hll_cardinality
+
+    hits = results.select(query_col, id_col)
+    joined = docs.select(id_col, value_col).join(F.broadcast(hits), id_col)
+    return hll_cardinality(joined, value_col, [query_col], p=p, rounding=rounding)

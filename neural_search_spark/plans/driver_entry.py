@@ -1425,6 +1425,47 @@ fc AS (
 )
 
 
+def q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Elasticsearch ``cardinality`` aggregation
+    (``operators/facets.py:cardinality_facet``): distinct-text estimate per
+    query over each query's FULL match set (every doc containing >= 1 query
+    term — rank-cut-free so the estimate is hundreds of values and the
+    HLL raw-estimate branch is actually exercised, not just linear
+    counting). The sketch arithmetic is deterministic, so the oracle
+    reproduces the estimate exactly (same contract as sketch_cardinality)."""
+    from ..operators.facets import cardinality_facet
+    from ..query.bm25_dataframe import query_terms
+
+    idx = build_logical_index(_docs(spark, sf_dir), persist=True)
+    qt = query_terms(_queries_df(spark)).select("query_id", "term").distinct()
+    hits = (
+        idx.doc_terms.join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return cardinality_facet(hits, _docs(spark, sf_dir), "text")
+
+
+def _facet_cardinality_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    return (
+        f"WITH {_BASE_CTES},\n"
+        + _query_values_sql()
+        + """,
+hits AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON tf.term = q.term),
+vals AS (
+  SELECT h.query_id, d.text AS val
+  FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+),
+"""
+        + hll_sql("val", "vals", ["query_id"]).strip()
+    )
+
+
+SQL_FACET_CARDINALITY = _facet_cardinality_sql()
+
+
 # --- Numeric facets (histogram + stats aggregations) --------------------------
 
 _HIST_INTERVAL = 200
@@ -2219,6 +2260,69 @@ ranked AS (
   FROM cand
 )
 SELECT q_term, rank, suggestion, distance, df FROM ranked WHERE rank <= {_SUGGEST_N}
+"""
+
+
+# --- Fuzzy full-text match (typo-tolerant BM25) -------------------------------
+
+# Two single-typo terms; an exact-only query (boost-1 path); two typos mixed
+# with an exact term; a term with no expansion (query vanishes on both
+# engines); a 2-char typo exercising the short-term boost 1 - 1/min(len).
+ENTRY_FUZZY_QUERIES = [
+    (0, "sparc windw", 10),
+    (1, "merge query", 10),
+    (2, "joim dupp the", 10),
+    (3, "xyzzy", 10),
+    (4, "ke agg", 10),
+]
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25 (``query/fuzzy.py``): SymSpell deletion-neighborhood
+    expansion + Lucene-style distance boost + per-term dis-max. Match mode
+    (the degenerate driver vocabulary floors every idf negative, same as
+    ``bm25_topk_all``). The oracle expands by brute levenshtein over the
+    vocabulary — the other algorithm — so the gate checks neighborhood
+    completeness as well as the scoring arithmetic."""
+    from ..query.fuzzy import fuzzy_topk
+
+    idx = build_logical_index(_docs(spark, sf_dir), persist=True)
+    return fuzzy_topk(
+        idx.doc_terms, idx.terms, _queries_df(spark, ENTRY_FUZZY_QUERIES),
+        stats=idx.stats, positive_only=False, score_rounding=4,
+    )
+
+
+SQL_FUZZY_TOPK = f"""
+WITH {_BASE_CTES},
+{_query_values_sql(ENTRY_FUZZY_QUERIES)},
+exp AS (
+  SELECT q.query_id, q.top_k, q.term AS q_term, q.qtf, f.term, f.idf,
+         1.0 - levenshtein(q.term, f.term)::DOUBLE
+               / least(length(q.term), length(f.term))::DOUBLE AS boost
+  FROM q JOIN fidf f ON levenshtein(q.term, f.term) <= 1
+),
+ts AS (
+  SELECT e.query_id, e.top_k, tf.doc_id, e.q_term, e.qtf,
+         max(e.boost * e.idf * ((tf.tf * ({K1} + 1)) /
+             (tf.tf + {K1} * (1 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM cstats))))) AS best
+  FROM exp e
+  JOIN tf ON tf.term = e.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY e.query_id, e.top_k, tf.doc_id, e.q_term, e.qtf
+),
+scored AS (
+  SELECT query_id, top_k, doc_id, sum(qtf * best) AS score
+  FROM ts GROUP BY query_id, top_k, doc_id
+),
+ranked AS (
+  SELECT query_id, top_k, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= top_k
 """
 
 
@@ -3274,6 +3378,7 @@ def base_queries() -> dict:
         "proximity_topk": q_proximity_topk,
         "best_snippet": q_best_snippet,
         "facet_counts": q_facet_counts,
+        "facet_cardinality": q_facet_cardinality,
         "facet_histogram": q_facet_histogram,
         "facet_percentiles": q_facet_percentiles,
         "facet_range": q_facet_range,
@@ -3283,6 +3388,7 @@ def base_queries() -> dict:
         "more_like_this": q_more_like_this,
         "more_like_this_serve": q_more_like_this_serve,
         "term_suggest": q_term_suggest,
+        "fuzzy_topk": q_fuzzy_topk,
         "prefix_topk": q_prefix_topk,
         "wildcard_topk": q_wildcard_topk,
         "bool_topk": q_bool_topk,
@@ -3334,6 +3440,7 @@ def base_oracles() -> dict:
         "proximity_topk": SQL_PROXIMITY_TOPK,
         "best_snippet": SQL_BEST_SNIPPET,
         "facet_counts": SQL_FACET_COUNTS,
+        "facet_cardinality": SQL_FACET_CARDINALITY,
         "facet_histogram": SQL_FACET_HISTOGRAM,
         "facet_percentiles": SQL_FACET_PERCENTILES,
         "facet_range": SQL_FACET_RANGE,
@@ -3343,6 +3450,7 @@ def base_oracles() -> dict:
         "more_like_this": SQL_MORE_LIKE_THIS,
         "more_like_this_serve": SQL_MORE_LIKE_THIS,
         "term_suggest": SQL_TERM_SUGGEST,
+        "fuzzy_topk": SQL_FUZZY_TOPK,
         "prefix_topk": SQL_PREFIX_TOPK,
         "wildcard_topk": SQL_WILDCARD_TOPK,
         "bool_topk": SQL_BOOL_TOPK,

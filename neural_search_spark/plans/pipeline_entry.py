@@ -1956,6 +1956,36 @@ FROM pieces GROUP BY chunk_id
 """
 
 
+# --- deterministic train/val/test split ---------------------------------------
+
+
+def q_split_train_eval(spark, sf_dir):
+    """Keyed-hash split assignment (``operators/splits.py``): md5-ppm bucket
+    of the doc_id thresholded by cumulative fractions — stable across runs,
+    engines, and corpus growth. The entry returns every doc's assignment
+    plus the bucket, so the gate pins the hash arithmetic AND the
+    threshold boundaries, not just the aggregate proportions."""
+    from ..operators.splits import split_bucket, split_train_eval
+
+    docs = _docs(spark, sf_dir)
+    return split_train_eval(docs, key_col="doc_id").select(
+        "doc_id", split_bucket(F.col("doc_id"), "split-v1").alias("bucket"), "split"
+    )
+
+
+def _split_sql() -> str:
+    from ..operators.splits import split_sql_case
+
+    bucket = "('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000"
+    return f"""
+SELECT doc_id, {bucket} AS bucket, {split_sql_case("doc_id")} AS split
+FROM documents
+"""
+
+
+SQL_SPLIT_TRAIN_EVAL = _split_sql()
+
+
 def pipeline_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1974,6 +2004,7 @@ def pipeline_queries() -> dict:
         "text_token_profile": q_text_token_profile,
         "text_quality": q_text_quality,
         "select_token_budget": q_select_token_budget,
+        "split_train_eval": q_split_train_eval,
         "text_lang_id": q_text_lang_id,
         "text_fingerprints": q_text_fingerprints,
         "text_repetition": q_text_repetition,
@@ -2016,6 +2047,7 @@ def pipeline_oracles() -> dict:
         "text_token_profile": SQL_TEXT_TOKEN_PROFILE,
         "text_quality": SQL_TEXT_QUALITY,
         "select_token_budget": SQL_SELECT_TOKEN_BUDGET,
+        "split_train_eval": SQL_SPLIT_TRAIN_EVAL,
         "text_lang_id": SQL_TEXT_LANG_ID,
         "text_fingerprints": SQL_TEXT_FINGERPRINTS,
         "text_repetition": SQL_TEXT_REPETITION,

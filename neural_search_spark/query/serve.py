@@ -1117,6 +1117,17 @@ class IndexReader:
             # already in final order (masks preserve it); just paginate
             sl = slice(offset, offset + top_k)
             return [(int(d), float(s)) for d, s in zip(ids[sl], scores[sl])]
+        # top-(offset+top_k) selection, not a full candidate sort: partition
+        # for the need-th largest score, keep only candidates at or above it
+        # (ALL ties at the threshold survive, so the (score desc, doc_id asc)
+        # lexsort of the survivors is exact), then sort the small remainder.
+        # Head-term queries at 100K docs have ~N candidates; this turns the
+        # dominant O(N log N) rank step into O(N) + O(k' log k').
+        need = offset + top_k
+        if 0 < need < scores.size:
+            kth = np.partition(scores, scores.size - need)[scores.size - need]
+            keep = scores >= kth
+            ids, scores = ids[keep], scores[keep]
         sel = np.lexsort((ids, -scores))
         sel = sel[offset : offset + top_k]
         return [(int(ids[i]), float(scores[i])) for i in sel]
