@@ -215,3 +215,32 @@ def test_pack_sequences_has_no_global_single_partition_sort(spark):
     plan = _plan(pack_sequences(lens, 256, num_partitions=4))
     assert "SinglePartition" not in plan
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_fuzzy_expansion_broadcasts_query_side(spark, stored_corpus):
+    """fuzzy_topk: the typo expansion joins the tiny query-variant side as a
+    broadcast against the vocabulary-bounded variant table, and the posting
+    join stays broadcast too — no sort-merge join anywhere; the split
+    assignment plan is shuffle-free codegen."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+    from neural_search_spark.index.stats import build_logical_index
+    from neural_search_spark.query.fuzzy import fuzzy_topk
+
+    idx = build_logical_index(assign_doc_ids(stored_corpus))
+    queries = spark.createDataFrame(
+        [(0, "w001 w0002", 5)], "query_id int, query_text string, top_k int"
+    )
+    plan = _plan(
+        fuzzy_topk(idx.doc_terms, idx.terms, queries, stats=idx.stats)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assignment_is_shuffle_free(spark, stored_corpus):
+    from neural_search_spark.operators.splits import split_train_eval
+
+    plan = _plan(split_train_eval(stored_corpus, key_col="url"))
+    assert "Exchange" not in plan  # pure projection, rides the scan
+    assert "*(1) Project" in plan  # the * marks whole-stage codegen
