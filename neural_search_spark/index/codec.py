@@ -192,6 +192,92 @@ def decode_ints(buf: bytes, count: int | None = None) -> np.ndarray:
     return unpack_bits(buf[2:], width, count)
 
 
+def decode_ints_many(bufs: list, counts: list[int]) -> list[np.ndarray]:
+    """Decode MANY independent int streams in one pass — same results as
+    ``[decode_ints(b, c) for b, c in zip(bufs, counts)]`` (pinned in
+    tests/test_codec.py), but the per-call numpy ceremony is amortized:
+
+    * all varint streams concatenate into ONE ``varint_decode`` (LEB128 is
+      self-delimiting, so the only bookkeeping is the value-count split);
+    * bit-packed streams group by (width, count) and decode as a single 2D
+      unpack — the common case is a full run of same-size blocks;
+    * patched (PFor) streams stay per-buffer (they are the rare tail).
+
+    This is the serving replica's cold-read hot path: a head term at 100K
+    docs spans ~600 blocks x 2 streams, and per-block decode overhead was
+    ~85% of uncached query latency.
+    """
+    out: list = [None] * len(bufs)
+    var_idx: list[int] = []
+    var_parts: list[bytes] = []
+    # (width, count) -> [(out_index, low_bits_payload, exceptions_or_None)]
+    packed_groups: dict[tuple[int, int], list[tuple]] = {}
+    patched: list[tuple[int, bytes]] = []
+    for i, raw in enumerate(bufs):
+        buf = bytes(raw)
+        scheme = buf[0]
+        if scheme == _SCHEME_VARINT:
+            var_idx.append(i)
+            var_parts.append(buf[1:])
+        elif scheme == _SCHEME_PATCHED:
+            patched.append((i, buf))
+        else:
+            packed_groups.setdefault((buf[1], counts[i]), []).append(
+                (i, buf[2:], None)
+            )
+    if var_idx:
+        vals = varint_decode(b"".join(var_parts))
+        cs = np.array([counts[i] for i in var_idx], dtype=np.int64)
+        assert int(cs.sum()) == vals.size, "varint batch count mismatch"
+        for i, arr in zip(var_idx, np.split(vals, np.cumsum(cs)[:-1])):
+            out[i] = arr
+    if patched:
+        # batch the exception varint streams: byte lengths are in the header,
+        # per-stream VALUE counts come from counting terminator bytes per
+        # segment (reduceat over the continuation bits) — one varint_decode
+        # for every exception stream of every patched block
+        exc_parts = []
+        exc_meta = []  # (out_index, width, low_payload)
+        for i, buf in patched:
+            width = buf[1]
+            exc_len = int.from_bytes(buf[2:4], "little")
+            exc_parts.append(buf[4 : 4 + exc_len])
+            exc_meta.append((i, width, buf[4 + exc_len :]))
+        exc_concat = b"".join(exc_parts)
+        raw8 = np.frombuffer(exc_concat, dtype=np.uint8)
+        is_last = (raw8 & 0x80) == 0
+        lens = np.array([len(p) for p in exc_parts], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nvals = np.add.reduceat(is_last.astype(np.int64), starts) if raw8.size else np.zeros(len(exc_parts), dtype=np.int64)
+        all_vals = varint_decode(exc_concat)
+        exc_arrays = np.split(all_vals, np.cumsum(nvals)[:-1])
+        for (i, width, lows), exc in zip(exc_meta, exc_arrays):
+            packed_groups.setdefault((width, counts[i]), []).append((i, lows, exc))
+    for (width, count), entries in packed_groups.items():
+        if width == 0 or count == 0:
+            for i, _lows, _exc in entries:
+                out[i] = np.zeros(count, dtype=np.uint64)
+            continue
+        nbytes = (count * width + 7) // 8
+        stack = np.frombuffer(
+            b"".join(lows[:nbytes] for _i, lows, _e in entries), dtype=np.uint8
+        ).reshape(len(entries), nbytes)
+        bits = np.unpackbits(stack, axis=1, bitorder="little")[:, : count * width]
+        vals2d = (
+            bits.reshape(len(entries), count, width).astype(np.uint64)
+            << np.arange(width, dtype=np.uint64)
+        ).sum(axis=2, dtype=np.uint64)
+        for j, (i, _lows, exc) in enumerate(entries):
+            row = vals2d[j]
+            if exc is not None and exc.size and int(exc[0]):
+                n_exc = int(exc[0])
+                pos = np.cumsum(exc[1 : 1 + n_exc].astype(np.int64))
+                row = row.copy()
+                row[pos] |= exc[1 + n_exc :] << np.uint64(width)
+            out[i] = row
+    return out
+
+
 def encode_doc_ids(doc_ids: np.ndarray, base: int) -> bytes:
     """Delta-encode a sorted doc_id array relative to ``base``."""
     d = np.asarray(doc_ids, dtype=np.int64)
@@ -304,18 +390,25 @@ def encode_posting_blocks(
 
 
 def decode_posting_blocks(blocks: list[dict], shard_base: int) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_posting_blocks for a term: (doc_ids, tfs)."""
-    all_ids = []
-    all_tfs = []
-    prev_last = shard_base
-    for blk in sorted(blocks, key=lambda x: x["block_id"]):
-        ids = decode_doc_ids(blk["deltas"], prev_last, blk["n_docs"])
-        all_ids.append(ids)
-        all_tfs.append(decode_ints(blk["tfs"], blk["n_docs"]).astype(np.int64))
-        prev_last = int(ids[-1])
-    if not all_ids:
+    """Inverse of encode_posting_blocks for a term: (doc_ids, tfs).
+
+    Batched: every block's delta/tf stream decodes in one
+    ``decode_ints_many`` call, and because each block's first delta is
+    relative to the PREVIOUS block's last id, one cumsum over the
+    concatenated deltas reconstructs every id — no per-block chaining."""
+    blocks = sorted(blocks, key=lambda x: x["block_id"])
+    if not blocks:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-    return np.concatenate(all_ids), np.concatenate(all_tfs)
+    counts = [int(b["n_docs"]) for b in blocks]
+    streams = decode_ints_many(
+        [b["deltas"] for b in blocks] + [b["tfs"] for b in blocks],
+        counts + counts,
+    )
+    ids = np.cumsum(
+        np.concatenate(streams[: len(blocks)]).astype(np.int64)
+    ) + shard_base
+    tfs = np.concatenate(streams[len(blocks):]).astype(np.int64)
+    return ids, tfs
 
 
 def decode_posting_blocks_with_positions(

@@ -193,7 +193,7 @@ class IndexReader:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from ..index.codec import decode_ints
+        from ..index.codec import decode_ints_many
 
         out: dict = {}
         missing: list[str] = []
@@ -219,20 +219,32 @@ class IndexReader:
         for r in table.to_pylist():
             by_key.setdefault((r["term"], int(r["shard"])), []).append(r)
         per_term: dict = {t: [] for t in missing}
+        # one batched decode across EVERY block of every missing term: the
+        # per-call decode overhead (not the bit twiddling) dominated cold
+        # reads — see codec.decode_ints_many
+        groups = []
+        bufs: list = []
+        cnts: list[int] = []
         for (term, shard), blocks in sorted(by_key.items()):
             blocks.sort(key=lambda x: int(x["block_id"]))
-            prev = shard * span
-            ids_parts, tfs_parts = [], []
-            for blk in blocks:
-                n = int(blk["n_docs"])
-                deltas = decode_ints(bytes(blk["deltas"]), n).astype(np.int64)
-                ids = np.cumsum(deltas) + prev
-                prev = int(ids[-1])
-                ids_parts.append(ids)
-                tfs_parts.append(decode_ints(bytes(blk["tfs"]), n).astype(np.float64))
-            per_term[term].append(
-                (shard, np.concatenate(ids_parts), np.concatenate(tfs_parts))
+            counts = [int(b["n_docs"]) for b in blocks]
+            groups.append((term, shard, len(blocks), counts))
+            bufs.extend(b["deltas"] for b in blocks)
+            bufs.extend(b["tfs"] for b in blocks)
+            cnts.extend(counts)
+            cnts.extend(counts)
+        streams = decode_ints_many(bufs, cnts)
+        pos = 0
+        for term, shard, nblk, counts in groups:
+            deltas = np.concatenate(streams[pos : pos + nblk]).astype(np.int64)
+            tfs = np.concatenate(streams[pos + nblk : pos + 2 * nblk]).astype(
+                np.float64
             )
+            pos += 2 * nblk
+            # block b's first delta is relative to block b-1's last id, so a
+            # single cumsum from the shard base reconstructs every id
+            ids = np.cumsum(deltas) + shard * span
+            per_term[term].append((shard, ids, tfs))
         for t in missing:
             out[t] = per_term[t]
             if self.cache is not None:

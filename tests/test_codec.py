@@ -251,3 +251,35 @@ def test_wildcard_regex_matches_fnmatch(pattern, candidate):
     want = fnmatch.fnmatchcase(candidate, pattern)
     got = re.fullmatch(wildcard_regex(pattern)[1:-1], candidate) is not None
     assert got == want, (pattern, candidate)
+
+
+def test_decode_ints_many_equals_per_buffer():
+    """Batched decode == per-buffer decode across every scheme mix: varint
+    (sparse), bit-packed (dense same-width runs), patched PFor (outliers),
+    empty and size-1 streams."""
+    import numpy as np
+
+    from neural_search_spark.index.codec import (
+        decode_ints,
+        decode_ints_many,
+        encode_ints,
+    )
+
+    rng = np.random.default_rng(7)
+    arrays = [
+        rng.integers(0, 6, size=128).astype(np.uint64),          # packed
+        rng.integers(0, 6, size=128).astype(np.uint64),          # packed same shape
+        rng.integers(0, 1 << 40, size=32).astype(np.uint64),     # varint-ish
+        np.concatenate(                                          # patched
+            [rng.integers(0, 4, size=120), rng.integers(1 << 20, 1 << 30, size=8)]
+        ).astype(np.uint64),
+        np.zeros(0, dtype=np.uint64),                            # empty
+        np.array([0], dtype=np.uint64),                          # single zero
+        rng.integers(0, 3, size=77).astype(np.uint64),           # packed odd count
+    ]
+    bufs = [encode_ints(a) for a in arrays]
+    counts = [a.size for a in arrays]
+    got = decode_ints_many(bufs, counts)
+    for g, buf, c, a in zip(got, bufs, counts, arrays):
+        ref = decode_ints(buf, c)
+        assert g.dtype == np.uint64 and np.array_equal(g, ref) and np.array_equal(g, a)
