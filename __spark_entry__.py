@@ -36,6 +36,8 @@ _PRIORITY = [
     "fuzzy_topk",
     "facet_cardinality",
     "split_train_eval",
+    "sketch_heavy_hitters",
+    "sketch_quantiles",
     # never driver-checked (r01 ∪ r02 miss)
     "bm25_topk_stem_wand",
     "phrase_topk_indexed",

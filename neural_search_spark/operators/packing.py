@@ -52,6 +52,20 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     spark = doc_tokens.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the narrow (doc_id, n_tokens) projection BEFORE the range
+    # exchange: RangePartitioner's boundary sampling evaluates its child in a
+    # separate pass (skipped only at n=1), so an expensive upstream — the
+    # caller's tokenize UDF over full text — would otherwise run twice at any
+    # real parallelism while the n=1 job runs it once (unfair N-vs-4N
+    # comparisons, and 2x wasted scan at scale). The checkpointed rows are 16
+    # bytes/doc, so at 10^10 docs this is ~160 GB cluster-wide — the same
+    # narrow-relation-first shape the index build uses.
+    narrow = (
+        doc_tokens.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+        ).localCheckpoint(eager=True)
+    )
     # Eager localCheckpoint (not persist): the kernel below correlates
     # spark_partition_id across TWO jobs, so the partitioning must be pinned.
     # A persisted plan can lose cached partitions and recompute through
@@ -61,11 +75,7 @@ def pack_sequences(
     # its blocks are released with the DataFrame, so nothing leaks in
     # long-lived sessions. Same pattern as index/maintenance.py.
     parts = (
-        doc_tokens.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(len_col).cast("long").alias("n_tokens"),
-        )
-        .repartitionByRange(n, F.col("doc_id"))
+        narrow.repartitionByRange(n, F.col("doc_id"))
         .sortWithinPartitions("doc_id")
         .localCheckpoint(eager=True)
     )

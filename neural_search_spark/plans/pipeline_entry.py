@@ -1757,6 +1757,76 @@ vals AS (
 SQL_SKETCH_CARDINALITY = _sketch_sql()
 
 
+# --- frequency sketching (Count-Min heavy hitters) ----------------------------
+
+_CMS_D, _CMS_W, _CMS_K = 4, 32, 20
+
+
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Count-Min Sketch heavy hitters (``operators/cms.py``) over the token
+    stream of the documents corpus: build the d x w counter sketch
+    (tf-weighted), estimate every distinct term's frequency from the sketch
+    alone (min over depth rows), rank the top k. w=32 is deliberately
+    smaller than the corpus vocabulary so bucket collisions actually occur
+    at test scale — the oracle must reproduce the resulting overestimates
+    bit-for-bit, which gates the sketch arithmetic itself."""
+    from ..functions.tokenize import doc_terms as doc_terms_fn
+    from ..operators.cms import cms_topk
+
+    dt = doc_terms_fn(_docs(spark, sf_dir))
+    cands = dt.select("term").distinct()
+    return cms_topk(
+        dt, "term", cands, weight_col="tf", k=_CMS_K, d=_CMS_D, w=_CMS_W
+    )
+
+
+def _cms_hh_sql() -> str:
+    from ..operators.cms import cms_sql
+
+    return (
+        "WITH "
+        + _TOKS.strip()
+        + ",\n"
+        + cms_sql(
+            "term", "1", "toks", "term", d=_CMS_D, w=_CMS_W, k=_CMS_K
+        ).strip()
+    )
+
+
+SQL_SKETCH_HEAVY_HITTERS = _cms_hh_sql()
+
+
+# --- quantile sketching (mergeable histogram) ---------------------------------
+
+_HIST_QS, _HIST_BINS = [0.5, 0.9, 0.99], 64
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles (``operators/histogram.py``) of the events
+    value column per event_type — P50/P90/P99 from nbins-bounded mergeable
+    partials, no per-group sort of the raw values."""
+    from ..operators.histogram import hist_quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hist_quantile_sketch(
+        ev, "value", _HIST_QS, group_cols=["event_type"], nbins=_HIST_BINS
+    ).select("event_type", "q", "est")
+
+
+def _hist_sql() -> str:
+    from ..operators.histogram import hist_sql
+
+    return (
+        "WITH "
+        + hist_sql(
+            "value", "events", _HIST_QS, ["event_type"], nbins=_HIST_BINS
+        ).strip()
+    )
+
+
+SQL_SKETCH_QUANTILES = _hist_sql()
+
+
 # --- collocations (PMI phrase mining) ------------------------------------------
 
 _COLL_MIN, _COLL_M = 5, 20
@@ -2023,6 +2093,8 @@ def pipeline_queries() -> dict:
         "events_daily": q_events_daily,
         "events_distinct_hll": q_events_distinct_hll,
         "sketch_cardinality": q_sketch_cardinality,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_quantiles": q_sketch_quantiles,
         "text_collocations": q_text_collocations,
         "pack_sequences": q_pack_sequences,
         "pack_chunks": q_pack_chunks,
@@ -2069,6 +2141,8 @@ def pipeline_oracles() -> dict:
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
         "sketch_cardinality": SQL_SKETCH_CARDINALITY,
+        "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
+        "sketch_quantiles": SQL_SKETCH_QUANTILES,
         "text_collocations": SQL_TEXT_COLLOCATIONS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_chunks": SQL_PACK_CHUNKS,

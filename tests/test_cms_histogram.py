@@ -1,0 +1,164 @@
+"""Count-Min Sketch and histogram-quantile sketch: merge==whole equivalence,
+the CMS one-sided error guarantee, histogram bin-width error bound, and
+cross-engine determinism of both entries (via tests/test_entry.py's
+parametrized oracle gate — these are the operator-level pins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators.cms import (
+    cms_estimate,
+    cms_merge,
+    cms_partial,
+    cms_topk,
+)
+from neural_search_spark.operators.histogram import (
+    hist_merge,
+    hist_partial,
+    hist_quantile_sketch,
+    hist_quantiles,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # zipf-ish frequencies: value v_i appears (40 - i) times, i in [0, 40)
+    rows = [(f"v{i:02d}",) for i in range(40) for _ in range(40 - i)]
+    return spark.createDataFrame(rows, "val string")
+
+
+def _exact_counts(stream):
+    return {
+        r["val"]: r["cnt"]
+        for r in stream.groupBy("val").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+class TestCms:
+    def test_estimate_never_undercounts_and_bounds_overcount(self, spark, stream):
+        exact = _exact_counts(stream)
+        sketch = cms_partial(stream, "val", d=4, w=64)
+        est = {
+            r["val"]: r["est_count"]
+            for r in cms_estimate(
+                sketch, stream.select("val").distinct(), "val", d=4, w=64
+            ).collect()
+        }
+        total = sum(exact.values())
+        assert set(est) == set(exact)
+        for v, c in exact.items():
+            assert est[v] >= c  # CMS never undercounts
+            # overestimate bounded well below eps*total with these params
+            assert est[v] - c <= total
+
+    def test_exact_when_no_collisions(self, spark, stream):
+        # w >> distincts: every estimate equals the true count
+        exact = _exact_counts(stream)
+        sketch = cms_partial(stream, "val", d=4, w=4096)
+        est = {
+            r["val"]: r["est_count"]
+            for r in cms_estimate(
+                sketch, stream.select("val").distinct(), "val", d=4, w=4096
+            ).collect()
+        }
+        assert est == exact
+
+    def test_merge_of_slices_equals_whole(self, spark, stream):
+        whole = cms_partial(stream, "val", d=4, w=64)
+        sliced = stream.withColumn(
+            "slice", (F.length("val") + F.ascii(F.substring("val", 3, 1))) % 3
+        )
+        partials = cms_partial(sliced, "val", group_cols=["slice"], d=4, w=64)
+        merged = cms_merge(partials, group_cols=[])
+        a = sorted((r["depth"], r["bucket"], r["cnt"]) for r in whole.collect())
+        b = sorted((r["depth"], r["bucket"], r["cnt"]) for r in merged.collect())
+        assert a == b
+
+    def test_weighted_equals_exploded(self, spark, stream):
+        # a (val, weight) pre-agg sketches identically to the raw stream
+        weighted = stream.groupBy("val").agg(F.count(F.lit(1)).alias("wgt"))
+        a = sorted(
+            (r["depth"], r["bucket"], r["cnt"])
+            for r in cms_partial(stream, "val", d=3, w=32).collect()
+        )
+        b = sorted(
+            (r["depth"], r["bucket"], r["cnt"])
+            for r in cms_partial(weighted, "val", weight_col="wgt", d=3, w=32).collect()
+        )
+        assert a == b
+
+    def test_topk_ranks_heavy_hitters_first(self, spark, stream):
+        top = cms_topk(
+            stream, "val", stream.select("val").distinct(), k=5, d=4, w=4096
+        ).collect()
+        assert [r["val"] for r in top] == ["v00", "v01", "v02", "v03", "v04"]
+        assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+    def test_absent_candidate_estimates_small(self, spark, stream):
+        sketch = cms_partial(stream, "val", d=4, w=2048)
+        cand = spark.createDataFrame([("never-seen",)], "val string")
+        [row] = cms_estimate(sketch, cand, "val", d=4, w=2048).collect()
+        # min-over-depths of mostly-empty buckets: tiny or zero
+        assert 0 <= row["est_count"] <= 40
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # deterministic skewed doubles in [0, 99.9]: i*i mod 999 over 2000 rows
+    rows = [(i % 4, float((i * i) % 999) / 10.0) for i in range(2000)]
+    return spark.createDataFrame(rows, "grp int, x double")
+
+
+class TestHistogram:
+    def test_quantiles_within_bin_width(self, spark, values):
+        nbins = 128
+        ests = hist_quantile_sketch(
+            values, "x", [0.5, 0.9, 0.99], group_cols=["grp"], nbins=nbins
+        ).collect()
+        exact = {
+            (r["grp"], q): r[f"q{int(q * 100)}"]
+            for q in (0.5, 0.9, 0.99)
+            for r in values.groupBy("grp")
+            .agg(F.percentile("x", q).alias(f"q{int(q * 100)}"))
+            .collect()
+        }
+        assert len(ests) == 12  # 4 groups x 3 quantiles
+        for r in ests:
+            lo_hi = 99.9  # frame width per group ~ [0, 99.9]
+            assert abs(r["est"] - exact[(r["grp"], r["q"])]) <= 2 * lo_hi / nbins
+
+    def test_merge_of_slices_equals_whole(self, spark, values):
+        bounds = (0.0, 100.0)
+        whole = hist_partial(values, "x", nbins=64, bounds=bounds)
+        sliced = values.withColumn("slice", (F.col("x") * 7).cast("long") % 3)
+        partials = hist_partial(
+            sliced, "x", group_cols=["slice"], nbins=64, bounds=bounds
+        )
+        merged = hist_merge(partials, group_cols=[])
+        a = sorted((r["bin"], r["cnt"]) for r in whole.collect())
+        b = sorted((r["bin"], r["cnt"]) for r in merged.collect())
+        assert a == b
+        qa = hist_quantiles(whole, [0.5, 0.9], nbins=64).collect()
+        qb = hist_quantiles(merged, [0.5, 0.9], nbins=64).collect()
+        assert sorted((r["q"], r["est"]) for r in qa) == sorted(
+            (r["q"], r["est"]) for r in qb
+        )
+
+    def test_merge_refuses_mixed_frames(self, spark, values):
+        p1 = hist_partial(values, "x", nbins=64, bounds=(0.0, 100.0))
+        p2 = hist_partial(values, "x", nbins=64, bounds=(0.0, 50.0))
+        with pytest.raises(ValueError, match="frames"):
+            hist_merge(p1.unionByName(p2), group_cols=[])
+
+    def test_partial_is_bin_bounded(self, spark, values):
+        p = hist_partial(values, "x", group_cols=["grp"], nbins=32)
+        assert p.count() <= 4 * 32
+        assert p.groupBy("grp").count().agg(F.max("count")).collect()[0][0] <= 32
+
+    def test_degenerate_single_value(self, spark):
+        one = spark.createDataFrame([(5.0,)] * 10, "x double")
+        [r] = hist_quantile_sketch(one, "x", [0.5], nbins=16).collect()
+        # hi == lo: everything lands in bin 0 and the estimate is lo itself
+        assert r["est"] == 5.0

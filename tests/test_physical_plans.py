@@ -212,9 +212,15 @@ def test_pack_sequences_has_no_global_single_partition_sort(spark):
     lens = spark.range(500).select(
         F.col("id").alias("doc_id"), (F.col("id") % 40).alias("n_tokens")
     )
-    plan = _plan(pack_sequences(lens, 256, num_partitions=4))
+    packed = pack_sequences(lens, 256, num_partitions=4)
+    plan = _plan(packed)
+    # the eager localCheckpoint truncates lineage, so the range exchange is
+    # not visible in the final plan string; the observable property is that
+    # the running total kept all 4 range partitions (a window form would have
+    # collapsed to one) and no window/single-partition exchange remains
     assert "SinglePartition" not in plan
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
+    assert packed.rdd.getNumPartitions() == 4
 
 
 def test_fuzzy_expansion_broadcasts_query_side(spark, stored_corpus):
@@ -244,3 +250,31 @@ def test_split_assignment_is_shuffle_free(spark, stored_corpus):
     plan = _plan(split_train_eval(stored_corpus, key_col="url"))
     assert "Exchange" not in plan  # pure projection, rides the scan
     assert "*(1) Project" in plan  # the * marks whole-stage codegen
+
+
+def test_cms_estimate_broadcasts_sketch_side(spark):
+    """cms_topk: the d*w-bounded sketch is the broadcast side of the
+    candidate join — the raw stream is aggregated once (map-side combined)
+    and never rescanned or sort-merge-joined."""
+    from neural_search_spark.operators.cms import cms_topk
+
+    stream = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("val")
+    )
+    plan = _plan(cms_topk(stream, "val", stream.select("val").distinct(), k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hist_partial_is_one_bounded_aggregation(spark):
+    """hist_partial: one partial_count -> exchange -> final count pair over
+    the bin projection (map-side combine collapses each partition to at most
+    nbins rows before the shuffle), with the derived frame broadcast."""
+    from neural_search_spark.operators.histogram import hist_partial
+
+    vals = spark.range(5000).select((F.col("id") % 97).cast("double").alias("x"))
+    plan = _plan(hist_partial(vals, "x", nbins=64))
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
