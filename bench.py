@@ -238,12 +238,16 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 q_ann_topk_sq8,
                 q_pack_sequences,
                 q_sketch_cardinality,
+                q_sketch_heavy_hitters,
+                q_sketch_quantiles,
             )
 
             for name, fn in {
                 "lm_dirichlet_topk": q_lm_dirichlet_topk,
                 "dis_max_topk": q_dis_max_topk,
                 "sketch_cardinality": q_sketch_cardinality,
+                "sketch_heavy_hitters": q_sketch_heavy_hitters,
+                "sketch_quantiles": q_sketch_quantiles,
                 "pack_sequences": q_pack_sequences,
                 "ann_topk_sq8": q_ann_topk_sq8,
             }.items():
