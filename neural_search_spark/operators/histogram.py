@@ -213,7 +213,9 @@ def hist_sql(
     join_on = (
         " AND ".join(f"v.{g} = f.{g}" for g in group_exprs) if group_exprs else "1=1"
     )
-    qvals = ", ".join(f"({float(q)})" for q in qs)
+    # explicit DOUBLE: a bare 0.5 literal is DECIMAL in DuckDB, which would
+    # surface as decimal.Decimal rows instead of the floats Spark returns
+    qvals = ", ".join(f"({float(q)})::DOUBLE" for q in qs)
     return f"""
 vals AS (
   SELECT {gsel} ({value_expr})::DOUBLE AS val FROM {from_clause}

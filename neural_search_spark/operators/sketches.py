@@ -45,8 +45,14 @@ from pyspark.sql import functions as F
 
 # alpha_m (Flajolet et al. 2007, fig. 3): tabulated for small m, the
 # asymptotic formula for m >= 128. Rendered as a literal so the Spark
-# expression and the SQL mirror parse the identical double.
-_ALPHA_SMALL = {16: "0.673", 32: "0.697", 64: "0.709"}
+# expression and the SQL mirror parse the identical double; the explicit
+# CAST keeps both engines out of DECIMAL arithmetic (a bare 0.673 parses as
+# DECIMAL in DuckDB and overflows when multiplied by m^2 * 2^tail).
+_ALPHA_SMALL = {
+    16: "CAST(0.673 AS DOUBLE)",
+    32: "CAST(0.697 AS DOUBLE)",
+    64: "CAST(0.709 AS DOUBLE)",
+}
 
 
 def _alpha_expr(m: int) -> str:

@@ -576,6 +576,10 @@ class IndexReader:
                 offset=offset, search_after=sa,
             )
         if kind == "bool":
+            # boundary validation: a non-object body is a client error, not
+            # an AttributeError crash (the serve loop only catches ValueError)
+            if not isinstance(body, dict):
+                raise ValueError("bool query body must be an object")
             text = " ".join(
                 ["+" + t for t in body.get("must", [])]
                 + ["-" + t for t in body.get("must_not", [])]
