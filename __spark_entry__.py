@@ -38,6 +38,7 @@ _PRIORITY = [
     "split_train_eval",
     "sketch_heavy_hitters",
     "sketch_quantiles",
+    "events_heavy_hitters",
     # never driver-checked (r01 ∪ r02 miss)
     "bm25_topk_stem_wand",
     "phrase_topk_indexed",

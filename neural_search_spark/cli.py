@@ -135,6 +135,53 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_sketch(args) -> int:
+    """Mergeable-sketch jobs over a parquet input: write the durable partial
+    (registers / counters / bin counts) to --output and print the finished
+    estimate(s) as one JSON line — the spark-submit surface of the sketch
+    tier (build partials per slice, merge downstream without rescans)."""
+    from pyspark.sql import functions as F
+
+    from .operators.cms import cms_estimate, cms_partial
+    from .operators.histogram import hist_partial, hist_quantiles
+    from .operators.sketches import hll_estimate, hll_partial
+
+    spark = _spark("nss-sketch")
+    df = spark.read.parquet(args.input)
+    if args.kind == "hll":
+        partial = hll_partial(df, args.value_col, p=args.p)
+        if args.output:
+            partial.write.mode("overwrite").parquet(args.output)
+            partial = spark.read.parquet(args.output)
+        [row] = hll_estimate(partial, p=args.p).collect()
+        print(json.dumps({"kind": "hll", "p": args.p,
+                          "est_distinct": row["est_distinct"]}))
+    elif args.kind == "cms":
+        partial = cms_partial(df, args.value_col, d=args.depth, w=args.width)
+        if args.output:
+            partial.write.mode("overwrite").parquet(args.output)
+            partial = spark.read.parquet(args.output)
+        est = cms_estimate(
+            partial, df.select(args.value_col), args.value_col,
+            d=args.depth, w=args.width,
+        )
+        top = (
+            est.orderBy(F.desc("est_count"), F.asc("val")).limit(args.top).collect()
+        )
+        print(json.dumps({"kind": "cms", "d": args.depth, "w": args.width,
+                          "top": [[r["val"], r["est_count"]] for r in top]}))
+    else:  # quantiles
+        partial = hist_partial(df, args.value_col, nbins=args.bins)
+        if args.output:
+            partial.write.mode("overwrite").parquet(args.output)
+            partial = spark.read.parquet(args.output)
+        qs = [float(x) for x in args.quantiles.split(",")]
+        rows = hist_quantiles(partial, qs, nbins=args.bins).collect()
+        print(json.dumps({"kind": "quantiles", "bins": args.bins,
+                          "est": {str(r["q"]): r["est"] for r in rows}}))
+    return 0
+
+
 def cmd_add(args) -> int:
     from .index.maintenance import add_documents
 
@@ -728,6 +775,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="write the materialized chunk text instead of the "
                     "per-doc span layout")
     pk.set_defaults(fn=cmd_pack)
+
+    sk = sub.add_parser("sketch")
+    sk.add_argument("kind", choices=["hll", "cms", "quantiles"])
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--value-col", required=True)
+    sk.add_argument("--output", default=None,
+                    help="write the durable partial (registers/counters/bins)")
+    sk.add_argument("--p", type=int, default=8)
+    sk.add_argument("--depth", type=int, default=4)
+    sk.add_argument("--width", type=int, default=2048)
+    sk.add_argument("--top", type=int, default=10)
+    sk.add_argument("--bins", type=int, default=256)
+    sk.add_argument("--quantiles", default="0.5,0.9,0.99")
+    sk.set_defaults(fn=cmd_sketch)
 
     a = sub.add_parser("add")
     a.add_argument("--input", required=True)

@@ -144,6 +144,47 @@ def cms_estimate(
     )
 
 
+def cms_estimate_grouped(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    group_cols: list[str],
+    value_col: str = "val",
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """(group_cols..., value_col, est_count): estimate each candidate within
+    every sketch group (e.g. per (window, event_type) partials). Inner-joins
+    candidate buckets against the grouped counters, then a candidate missing
+    ANY of its d depth rows in a group has a zero counter there — the
+    estimate is 0, not the min of the rows that happened to exist (that
+    would break the one-sided guarantee's tightness the other way: CMS's
+    min must range over all d rows)."""
+    cand = candidates.select(F.col(value_col).alias("val")).distinct()
+    cb = cand.select(
+        "val",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        cms_bucket(F.col("val"), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("db"),
+    ).select("val", "db.depth", "db.bucket")
+    joined = sketch.join(F.broadcast(cb), ["depth", "bucket"])
+    agg = joined.groupBy(*group_cols, "val").agg(
+        F.min("cnt").alias("min_cnt"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est = F.when(F.col("n_rows") < d, F.lit(0).cast("long")).otherwise(
+        F.col("min_cnt")
+    )
+    return agg.select(*group_cols, "val", est.alias("est_count"))
+
+
 def cms_topk(
     df: DataFrame,
     value_col: str,

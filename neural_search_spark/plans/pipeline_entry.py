@@ -1389,6 +1389,77 @@ def _events_hll_sql() -> str:
 SQL_EVENTS_DISTINCT_HLL = _events_hll_sql()
 
 
+# --- windowed heavy hitters (Count-Min, streaming-shaped) ---------------------
+
+_EHH_D, _EHH_W, _EHH_K = 4, 64, 5
+
+
+def q_events_heavy_hitters(spark, sf_dir):
+    """Windowed top-k users via the mergeable Count-Min sketch
+    (``streaming/ingest.py:windowed_heavy_hitters_cms``, batch form — the
+    same single-stateful-agg plan runs under Structured Streaming with
+    <= d*w counter rows of state per (window, event_type), the frequency
+    twin of ``events_distinct_hll``). w=64 is far below the user-id
+    cardinality so real collisions occur; the oracle reproduces the
+    resulting overestimates exactly."""
+    from ..streaming.ingest import windowed_heavy_hitters_cms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cands = ev.select(F.col("user_id").cast("string").alias("val")).distinct()
+    return windowed_heavy_hitters_cms(
+        ev, cands, k=_EHH_K, d=_EHH_D, w=_EHH_W
+    )
+
+
+def _events_cms_sql() -> str:
+    d, w, k = _EHH_D, _EHH_W, _EHH_K
+    return f"""
+WITH ev AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, user_id::VARCHAR AS val
+  FROM events
+),
+depths AS (SELECT unnest(generate_series(0, {d - 1})) AS depth),
+sketch AS (
+  SELECT window_start, event_type, d.depth,
+         ('0x' || substr(md5(d.depth::VARCHAR || ':' || ev.val), 1, 12))::BIGINT
+           % {w} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM ev, depths d
+  GROUP BY window_start, event_type, d.depth, bucket
+),
+cand AS (SELECT DISTINCT val FROM ev),
+cb AS (
+  SELECT c.val, d.depth,
+         ('0x' || substr(md5(d.depth::VARCHAR || ':' || c.val), 1, 12))::BIGINT
+           % {w} AS bucket
+  FROM cand c, depths d
+),
+est AS (
+  SELECT s.window_start, s.event_type, cb.val,
+         CASE WHEN count(*) < {d} THEN 0
+              ELSE min(s.cnt) END::BIGINT AS est_count
+  FROM sketch s JOIN cb USING (depth, bucket)
+  GROUP BY s.window_start, s.event_type, cb.val
+),
+ranked AS (
+  SELECT window_start, event_type,
+         row_number() OVER (
+           PARTITION BY window_start, event_type
+           ORDER BY est_count DESC, val ASC
+         )::BIGINT AS rank,
+         val, est_count
+  FROM est
+)
+SELECT window_start, event_type, rank, val, est_count
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_EVENTS_HEAVY_HITTERS = _events_cms_sql()
+
+
 # --- registries --------------------------------------------------------------
 
 
@@ -2092,6 +2163,7 @@ def pipeline_queries() -> dict:
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
         "events_distinct_hll": q_events_distinct_hll,
+        "events_heavy_hitters": q_events_heavy_hitters,
         "sketch_cardinality": q_sketch_cardinality,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
@@ -2137,6 +2209,7 @@ def pipeline_oracles() -> dict:
         "events_sessions": SQL_EVENTS_SESSIONS,
         "events_daily": SQL_EVENTS_DAILY,
         "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
+        "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
         # ann_topk_ivf runs in exact-fold mode, so even the iterative
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,

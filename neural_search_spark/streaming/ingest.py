@@ -215,3 +215,99 @@ def windowed_distinct_hll(
         windowed_hll_partial(events, value_col, window_duration, watermark, p=p),
         p=p,
     )
+
+
+def windowed_cms_partial(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Per-(window, event_type) Count-Min counter rows — the STREAMING stage
+    of a windowed heavy-hitter count (the frequency twin of
+    :func:`windowed_hll_partial`): ONE stateful aggregation whose state per
+    group is at most d*w counter rows (``sum`` merges incrementally), vs the
+    unbounded per-value map an exact frequency count holds. The sink stores
+    the counters (durable, mergeable by addition across windows/slices);
+    :func:`finish_windowed_cms` ranks candidates at read time. A single
+    stateful operator, same as the HLL form — a chained agg would trip
+    Structured Streaming's statefulOperator.checkCorrectness."""
+    from ..operators.cms import cms_bucket
+
+    val = F.col(value_col).cast("string")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    cms_bucket(val, i, w).alias("bucket"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("db")
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", window_duration).alias("win"), "event_type", pairs)
+        .select("win", "event_type", "db.depth", "db.bucket")
+        .groupBy("win", "event_type", "depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def finish_windowed_cms(
+    partials: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "val",
+    k: int = 5,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(window_start, event_type, rank, val, est_count): top-k candidates per
+    (window, event_type) from stored counter rows — grouped min-over-depth
+    estimation, then a group-bounded ranking window (ties: val asc on the
+    exact integer estimates)."""
+    from pyspark.sql import Window
+
+    from ..operators.cms import cms_estimate_grouped
+
+    est = cms_estimate_grouped(
+        partials, candidates, ["win", "event_type"], value_col=value_col, d=d, w=w
+    )
+    rank_w = Window.partitionBy("win", "event_type").orderBy(
+        F.desc("est_count"), F.asc("val")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            F.col("rank").cast("long").alias("rank"),
+            "val",
+            "est_count",
+        )
+    )
+
+
+def windowed_heavy_hitters_cms(
+    events: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "user_id",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 5,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Batch composition of partial + finish (the driver-entry form; the
+    counter arithmetic is identical in batch, stream, and the SQL oracle)."""
+    return finish_windowed_cms(
+        windowed_cms_partial(events, value_col, window_duration, watermark, d=d, w=w),
+        candidates,
+        k=k,
+        d=d,
+        w=w,
+    )

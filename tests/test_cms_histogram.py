@@ -162,3 +162,32 @@ class TestHistogram:
         [r] = hist_quantile_sketch(one, "x", [0.5], nbins=16).collect()
         # hi == lo: everything lands in bin 0 and the estimate is lo itself
         assert r["est"] == 5.0
+
+
+def test_cli_sketch_verbs(spark, tmp_path):
+    """`cli sketch hll|cms|quantiles` — the spark-submit surface of the
+    sketch tier: writes the durable partial, prints one JSON line, and the
+    written partial finishes to the same estimate in-process."""
+    import json
+    import subprocess
+    import sys
+
+    from neural_search_spark.operators.sketches import hll_cardinality, hll_estimate
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "hll_partial")
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "sketch", "hll",
+         "--input", src, "--value-col", "text", "--output", out],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    docs = spark.read.parquet(src)
+    [whole] = hll_cardinality(docs, "text").collect()
+    assert line["est_distinct"] == whole["est_distinct"]
+    # the written partial is the durable sketch: finishing it reproduces
+    # the estimate without rescanning the data
+    [from_partial] = hll_estimate(spark.read.parquet(out)).collect()
+    assert from_partial["est_distinct"] == whole["est_distinct"]

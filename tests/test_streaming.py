@@ -320,3 +320,57 @@ def test_rollup_sketch_daily_distinct_matches_raw(spark, tmp_path):
     }
     assert got == want
     assert len(want) >= 5
+
+
+def test_windowed_heavy_hitters_cms_stream_matches_batch(spark, tmp_path):
+    """The Count-Min windowed heavy hitters runs as ONE streaming stateful
+    aggregation with bounded state (<= d*w counter rows per (window, type))
+    and, fully drained, ranks exactly the batch candidates."""
+    from neural_search_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        finish_windowed_cms,
+        windowed_cms_partial,
+        windowed_heavy_hitters_cms,
+    )
+
+    events_path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(events_path)
+    batch_events = spark.read.parquet(events_path)
+    cands = batch_events.select(
+        F.col("user_id").cast("string").alias("val")
+    ).distinct()
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_path)
+    )
+    q = (
+        windowed_cms_partial(stream, d=3, w=32)
+        .writeStream.format("memory")
+        .queryName("cms_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    partials = spark.sql("SELECT * FROM cms_test")
+    # bounded state: at most d*w counter rows per (window, event_type)
+    per_group = (
+        partials.groupBy("win", "event_type").count().agg(F.max("count")).collect()
+    )
+    assert per_group[0][0] <= 3 * 32
+    got = [
+        tuple(r)
+        for r in finish_windowed_cms(partials, cands, k=3, d=3, w=32).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in windowed_heavy_hitters_cms(
+            batch_events, cands, k=3, d=3, w=32
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 10
