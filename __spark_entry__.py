@@ -39,6 +39,7 @@ _PRIORITY = [
     "sketch_heavy_hitters",
     "sketch_quantiles",
     "events_heavy_hitters",
+    "events_windowed_quantiles",
     # never driver-checked (r01 ∪ r02 miss)
     "bm25_topk_stem_wand",
     "phrase_topk_indexed",

@@ -1460,6 +1460,71 @@ FROM ranked WHERE rank <= {k}
 SQL_EVENTS_HEAVY_HITTERS = _events_cms_sql()
 
 
+# --- windowed quantiles (histogram sketch, streaming-shaped) ------------------
+
+_EWQ_BOUNDS, _EWQ_QS, _EWQ_BINS = (0.0, 512.0), [0.5, 0.9, 0.99], 64
+
+
+def q_events_windowed_quantiles(spark, sf_dir):
+    """Windowed P50/P90/P99 of the event value via the mergeable histogram
+    sketch (``streaming/ingest.py:windowed_quantiles_hist``, batch form —
+    the same single-stateful-agg plan runs under Structured Streaming with
+    <= nbins counter rows of state per (window, event_type); the pinned
+    [lo, hi) frame is what streaming requires AND what makes per-window
+    partials mergeable into daily rollups)."""
+    from ..streaming.ingest import windowed_quantiles_hist
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_quantiles_hist(
+        ev, _EWQ_BOUNDS, _EWQ_QS, nbins=_EWQ_BINS
+    )
+
+
+def _events_hist_sql() -> str:
+    lo, hi = _EWQ_BOUNDS
+    nb = _EWQ_BINS
+    qvals = ", ".join(f"({float(q)})::DOUBLE" for q in _EWQ_QS)
+    return f"""
+WITH ev AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, value::DOUBLE AS val
+  FROM events
+  WHERE value IS NOT NULL
+),
+sketch AS (
+  SELECT window_start, event_type,
+         least(greatest(floor((val - {float(lo)}) * {nb}
+                              / ({float(hi)} - {float(lo)}))::BIGINT, 0),
+               {nb - 1}) AS bin,
+         count(*)::BIGINT AS cnt
+  FROM ev GROUP BY window_start, event_type, bin
+),
+cum AS (
+  SELECT window_start, event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY window_start, event_type
+                        ORDER BY bin)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY window_start, event_type)::BIGINT AS total
+  FROM sketch
+),
+qrows AS (SELECT unnest([{qvals}]) AS q),
+hit AS (
+  SELECT window_start, event_type, q, bin, cnt, cum,
+         ceil(q * total)::BIGINT AS tgt
+  FROM cum, qrows
+  WHERE cum >= ceil(q * total)::BIGINT
+    AND ceil(q * total)::BIGINT >= cum - cnt + 1
+)
+SELECT window_start, event_type, q,
+       round({float(lo)} + (bin::DOUBLE + (tgt - (cum - cnt))::DOUBLE / cnt::DOUBLE)
+                  * (({float(hi)} - {float(lo)}) / {nb}), 4) AS est
+FROM hit
+"""
+
+
+SQL_EVENTS_WINDOWED_QUANTILES = _events_hist_sql()
+
+
 # --- registries --------------------------------------------------------------
 
 
@@ -2164,6 +2229,7 @@ def pipeline_queries() -> dict:
         "events_daily": q_events_daily,
         "events_distinct_hll": q_events_distinct_hll,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "events_windowed_quantiles": q_events_windowed_quantiles,
         "sketch_cardinality": q_sketch_cardinality,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
@@ -2210,6 +2276,7 @@ def pipeline_oracles() -> dict:
         "events_daily": SQL_EVENTS_DAILY,
         "events_distinct_hll": SQL_EVENTS_DISTINCT_HLL,
         "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+        "events_windowed_quantiles": SQL_EVENTS_WINDOWED_QUANTILES,
         # ann_topk_ivf runs in exact-fold mode, so even the iterative
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,

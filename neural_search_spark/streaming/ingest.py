@@ -311,3 +311,80 @@ def windowed_heavy_hitters_cms(
         d=d,
         w=w,
     )
+
+
+def windowed_hist_partial(
+    events: DataFrame,
+    bounds: tuple[float, float],
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    nbins: int = 64,
+) -> DataFrame:
+    """Per-(window, event_type) histogram bin counts — the distribution
+    member of the streaming sketch trio (distinct=HLL, frequency=CMS,
+    distribution=this): ONE stateful aggregation with <= nbins counter rows
+    of state per group. The [lo, hi] frame MUST be pinned up front — a
+    derived min/max frame needs the whole stream before any bin is known,
+    so streaming histograms are always built against fixed bounds (which is
+    also what makes per-window partials mergeable into daily rollups)."""
+    from ..operators.histogram import hist_bin
+
+    b_lo, b_hi = float(bounds[0]), float(bounds[1])
+    lo, hi = F.lit(b_lo), F.lit(b_hi)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window_duration).alias("win"),
+            "event_type",
+            F.col(value_col).cast("double").alias("val"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .where(F.col("val").isNotNull())
+        .select(
+            "win", "event_type", "lo", "hi",
+            hist_bin(F.col("val"), lo, hi, nbins).alias("bin"),
+        )
+        .groupBy("win", "event_type", "lo", "hi", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def finish_windowed_hist(
+    partials: DataFrame, qs: list[float], nbins: int = 64, rounding: int = 4
+) -> DataFrame:
+    """(window_start, event_type, q, est) from stored bin counts — the same
+    exact-integer rank location + interpolation as the batch sketch."""
+    from ..operators.histogram import hist_quantiles
+
+    est = hist_quantiles(
+        partials, qs, ["win", "event_type"], nbins=nbins, rounding=rounding
+    )
+    return est.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "q",
+        "est",
+    )
+
+
+def windowed_quantiles_hist(
+    events: DataFrame,
+    bounds: tuple[float, float],
+    qs: list[float],
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    nbins: int = 64,
+    rounding: int = 4,
+) -> DataFrame:
+    """Batch composition of partial + finish (the driver-entry form)."""
+    return finish_windowed_hist(
+        windowed_hist_partial(
+            events, bounds, value_col, window_duration, watermark, nbins=nbins
+        ),
+        qs,
+        nbins=nbins,
+        rounding=rounding,
+    )

@@ -374,3 +374,53 @@ def test_windowed_heavy_hitters_cms_stream_matches_batch(spark, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 10
+
+
+def test_windowed_quantiles_hist_stream_matches_batch(spark, tmp_path):
+    """The histogram windowed quantiles runs as ONE streaming stateful
+    aggregation with bounded state (<= nbins counter rows per (window,
+    type)) against a pinned frame and, fully drained, estimates exactly the
+    batch quantiles."""
+    from neural_search_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        finish_windowed_hist,
+        windowed_hist_partial,
+        windowed_quantiles_hist,
+    )
+
+    events_path = str(tmp_path / "events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(
+        4
+    ).write.parquet(events_path)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_path)
+    )
+    q = (
+        windowed_hist_partial(stream, (0.0, 512.0), nbins=32)
+        .writeStream.format("memory")
+        .queryName("hist_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    partials = spark.sql("SELECT * FROM hist_test")
+    per_group = (
+        partials.groupBy("win", "event_type").count().agg(F.max("count")).collect()
+    )
+    assert per_group[0][0] <= 32
+    got = sorted(
+        tuple(r)
+        for r in finish_windowed_hist(partials, [0.5, 0.9], nbins=32).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in windowed_quantiles_hist(
+            spark.read.parquet(events_path), (0.0, 512.0), [0.5, 0.9], nbins=32
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 10
