@@ -307,7 +307,9 @@ def main() -> None:
         return
 
     spark = _fresh_spark(f"local[{cores}]", cores)
+    jvm_probe_start = _jvm_drift_probe(spark)
     timings = run_suite(spark, sf_dir, cores)
+    jvm_probe_end = _jvm_drift_probe(spark)
     extras = {k[1:]: v for k, v in timings.items() if k.startswith("_")}
     queries = {k: round(v, 3) for k, v in timings.items() if not k.startswith("_")}
     # the headline total sums the ROUND-1 workload set only, so `value` stays
@@ -338,6 +340,13 @@ def main() -> None:
         "positional_postings_bytes": int(extras.get("positional_postings_bytes", 0)),
         "serve_warm_ms": round(extras.get("serve_warm_ms", 0.0), 3),
         "total_all_ops": round(sum(queries.values()), 3),
+        # VM-state evidence recorded WITH the numbers: pure-JVM sha256 over
+        # spark.range, warm, at the start AND end of the suite (degradation
+        # is bursty — one point under-attributes). Self-consistent across
+        # rounds (always this session's local[N]); BASELINE.md documents a
+        # measured 4.5-5.7x degraded phase. Compare rounds through these.
+        "jvm_probe_start_s": jvm_probe_start,
+        "jvm_probe_end_s": jvm_probe_end,
     }
 
     if scaling:
@@ -509,6 +518,21 @@ def _count_chunk(texts: list) -> int:
     from neural_search_spark.functions.tokenize import tokenize_py
 
     return sum(len(tokenize_py(t)) for t in texts)
+
+
+def _jvm_drift_probe(spark) -> float:
+    """Warm pure-JVM sha256 wall time (min of 2 after a warmup run): the
+    code-independent canary for this host's JVM-degraded phases. Recorded in
+    every bench line so cross-round comparisons can attribute drift."""
+    def once() -> float:
+        t0 = time.time()
+        spark.range(20_000_000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("h")
+        ).agg(F.max("h")).collect()
+        return time.time() - t0
+
+    once()  # warmup
+    return round(min(once(), once()), 3)
 
 
 def run_pack_scaling(n_docs: int, cores_pair=(1, 4), repeats: int = 2) -> dict:
