@@ -226,9 +226,21 @@ def decode_ints_many(bufs: list, counts: list[int]) -> list[np.ndarray]:
                 (i, buf[2:], None)
             )
     if var_idx:
-        vals = varint_decode(b"".join(var_parts))
+        concat = b"".join(var_parts)
+        vals = varint_decode(concat)
         cs = np.array([counts[i] for i in var_idx], dtype=np.int64)
-        assert int(cs.sum()) == vals.size, "varint batch count mismatch"
+        # per-STREAM count check, matching decode_ints' per-call assert: a
+        # LEB128 value ends on its terminator byte (high bit clear), so each
+        # stream's actual value count is its terminator count — compensating
+        # errors across streams (one short, the next long) must fail loudly,
+        # not silently shift values between streams at the split below.
+        raw8 = np.frombuffer(concat, dtype=np.uint8)
+        cum = np.concatenate(
+            ([0], np.cumsum(((raw8 & 0x80) == 0).astype(np.int64)))
+        )
+        ends = np.cumsum(np.array([len(p) for p in var_parts], dtype=np.int64))
+        actual = cum[ends] - cum[ends - np.array([len(p) for p in var_parts], dtype=np.int64)]
+        assert np.array_equal(actual, cs), "varint per-stream count mismatch"
         for i, arr in zip(var_idx, np.split(vals, np.cumsum(cs)[:-1])):
             out[i] = arr
     if patched:

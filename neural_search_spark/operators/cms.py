@@ -182,7 +182,27 @@ def cms_estimate_grouped(
     est = F.when(F.col("n_rows") < d, F.lit(0).cast("long")).otherwise(
         F.col("min_cnt")
     )
-    return agg.select(*group_cols, "val", est.alias("est_count"))
+    hits = agg.select(*group_cols, "val", est.alias("est_count"))
+    # every (group, candidate) pair gets a row — a candidate whose buckets
+    # all miss a group's counters estimates 0, it does not vanish (parity
+    # with the ungrouped cms_estimate's left-join-coalesce). Both sides of
+    # the domain are bounded: distinct sketch groups x the candidate set.
+    # The right side is re-projected under fresh names: domain and hits both
+    # descend from `sketch`, and a name-list self-join on shared attribute
+    # lineage fails resolution ("conflicting references").
+    domain = sketch.select(*group_cols).distinct().crossJoin(F.broadcast(cand))
+    keys = [*group_cols, "val"]
+    h = hits.select(
+        *[F.col(c).alias(f"__h_{c}") for c in keys], F.col("est_count")
+    )
+    cond = None
+    for c in keys:
+        eq = domain[c] == h[f"__h_{c}"]
+        cond = eq if cond is None else (cond & eq)
+    return domain.join(h, cond, "left").select(
+        *keys,
+        F.coalesce(F.col("est_count"), F.lit(0).cast("long")).alias("est_count"),
+    )
 
 
 def cms_topk(

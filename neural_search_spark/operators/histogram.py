@@ -90,29 +90,48 @@ def hist_partial(
     )
 
 
-def hist_merge(partials: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+def hist_merge(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    validate: bool = True,
+) -> DataFrame:
     """Union sketches built over the SAME [lo, hi] frame: bin-wise count
     addition (re-grouped by ``group_cols``, which may collapse dimensions).
     Merged partials are exactly the sketch of the concatenated data, so
     quantile estimates are identical (pinned in tests). Mixing frames is an
-    error, not a silent misestimate."""
+    error, not a silent misestimate.
+
+    ``validate`` runs an eager mixed-frame check — one extra job over the
+    partials' lineage, which a caller merging LAZY partials pays twice
+    (check + consumption). Materialized sketch tables (the normal 100 TB
+    shape: partials persisted per slice) pay only the tiny re-read; callers
+    who built every partial against the same explicit ``bounds`` may pass
+    ``validate=False`` to keep the merge plan-only."""
     group_cols = list(group_cols or [])
-    mixed = (
-        partials.groupBy(*group_cols)
-        .agg(F.count_distinct(F.struct("lo", "hi")).alias("nf"))
-        .where(F.col("nf") > 1)
-        .limit(1)
-        .count()
-    )
-    if mixed:
-        raise ValueError(
-            "hist_merge: an output group unions partials with different "
-            "[lo, hi] frames; sketches are only mergeable against identical "
-            "bins — build them with an explicit shared `bounds`"
+    if validate:
+        mixed = (
+            partials.groupBy(*group_cols)
+            .agg(F.count_distinct(F.struct("lo", "hi")).alias("nf"))
+            .where(F.col("nf") > 1)
+            .limit(1)
+            .count()
         )
+        if mixed:
+            raise ValueError(
+                "hist_merge: an output group unions partials with different "
+                "[lo, hi] frames; sketches are only mergeable against "
+                "identical bins — build them with an explicit shared `bounds`"
+            )
     return partials.groupBy(*group_cols, "lo", "hi", "bin").agg(
         F.sum("cnt").alias("cnt")
     )
+
+
+def _check_qs(qs: list[float]) -> None:
+    """q = 0 (or anything outside (0, 1]) has no rank-1 target bin — the
+    locate join would silently emit NO row for it, so reject up front."""
+    if not qs or any(not 0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
 
 
 def hist_quantiles(
@@ -129,6 +148,7 @@ def hist_quantiles(
     located bin's value range. Every comparison is on exact longs; only the
     final position arithmetic is float, rounded to ``rounding``.
     """
+    _check_qs(qs)
     group_cols = list(group_cols or [])
     gwin = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("bin")
     cum = partials.select(
@@ -206,6 +226,7 @@ def hist_sql(
     bounds — same bins, same exact-integer ranks, same interpolation
     expression (used by the driver oracle; grouped form mirrors per-group
     min/max frames)."""
+    _check_qs(qs)
     group_exprs = list(group_exprs or [])
     gsel = "".join(f"{g}, " for g in group_exprs)
     gby = ("GROUP BY " + ", ".join(group_exprs)) if group_exprs else ""

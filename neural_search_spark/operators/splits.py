@@ -78,6 +78,10 @@ def split_sql_case(key_expr: str, fractions: dict[str, float] | None = None,
         " % 1000000"
     )
     names = list(fr)
+    if len(names) == 1:
+        # zero WHEN clauses is invalid SQL ("CASE ELSE ... END"); a single
+        # split is just its literal, same as split_train_eval's degenerate case
+        return f"'{names[0]}'"
     acc = 0
     whens = []
     for name in names[:-1]:

@@ -1443,6 +1443,9 @@ est AS (
   FROM sketch s JOIN cb USING (depth, bucket)
   GROUP BY s.window_start, s.event_type, cb.val
 ),
+-- only candidates the sketch saw rank (est_count > 0): the Spark side
+-- computes the full (group x candidate) domain with zeros and applies the
+-- same cut, so never-seen candidates neither rank nor mismatch
 ranked AS (
   SELECT window_start, event_type,
          row_number() OVER (
@@ -1450,7 +1453,7 @@ ranked AS (
            ORDER BY est_count DESC, val ASC
          )::BIGINT AS rank,
          val, est_count
-  FROM est
+  FROM est WHERE est_count > 0
 )
 SELECT window_start, event_type, rank, val, est_count
 FROM ranked WHERE rank <= {k}

@@ -234,27 +234,17 @@ def windowed_cms_partial(
     :func:`finish_windowed_cms` ranks candidates at read time. A single
     stateful operator, same as the HLL form — a chained agg would trip
     Structured Streaming's statefulOperator.checkCorrectness."""
-    from ..operators.cms import cms_bucket
+    from ..operators.cms import cms_partial
 
-    val = F.col(value_col).cast("string")
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("depth"),
-                    cms_bucket(val, i, w).alias("bucket"),
-                )
-                for i in range(d)
-            ]
-        )
-    ).alias("db")
-    return (
-        events.withWatermark("ts", watermark)
-        .select(F.window("ts", window_duration).alias("win"), "event_type", pairs)
-        .select("win", "event_type", "db.depth", "db.bucket")
-        .groupBy("win", "event_type", "depth", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    src = events.withWatermark("ts", watermark).select(
+        F.window("ts", window_duration).alias("win"),
+        "event_type",
+        F.col(value_col).cast("string").alias("val"),
     )
+    # the batch operator IS the streaming partial (one groupBy = one
+    # stateful agg); a single bucket-derivation site keeps streaming
+    # partials, batch sketches, and the SQL oracle in lockstep
+    return cms_partial(src, "val", group_cols=["win", "event_type"], d=d, w=w)
 
 
 def finish_windowed_cms(
@@ -279,8 +269,13 @@ def finish_windowed_cms(
     rank_w = Window.partitionBy("win", "event_type").orderBy(
         F.desc("est_count"), F.asc("val")
     )
+    # rank only candidates the sketch actually saw: cms_estimate_grouped
+    # returns the full (group x candidate) domain with zeros, and a "heavy
+    # hitter" with estimate 0 is a contradiction — zeros would pad top-k
+    # with arbitrary val-ordered absentees (oracle applies the same cut)
     return (
-        est.withColumn("rank", F.row_number().over(rank_w))
+        est.where(F.col("est_count") > 0)
+        .withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -328,26 +323,18 @@ def windowed_hist_partial(
     derived min/max frame needs the whole stream before any bin is known,
     so streaming histograms are always built against fixed bounds (which is
     also what makes per-window partials mergeable into daily rollups)."""
-    from ..operators.histogram import hist_bin
+    from ..operators.histogram import hist_partial
 
-    b_lo, b_hi = float(bounds[0]), float(bounds[1])
-    lo, hi = F.lit(b_lo), F.lit(b_hi)
-    return (
-        events.withWatermark("ts", watermark)
-        .select(
-            F.window("ts", window_duration).alias("win"),
-            "event_type",
-            F.col(value_col).cast("double").alias("val"),
-            lo.alias("lo"),
-            hi.alias("hi"),
-        )
-        .where(F.col("val").isNotNull())
-        .select(
-            "win", "event_type", "lo", "hi",
-            hist_bin(F.col("val"), lo, hi, nbins).alias("bin"),
-        )
-        .groupBy("win", "event_type", "lo", "hi", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    src = events.withWatermark("ts", watermark).select(
+        F.window("ts", window_duration).alias("win"),
+        "event_type",
+        F.col(value_col).alias("val"),
+    )
+    # the batch operator IS the streaming partial (one groupBy = one
+    # stateful agg); the pinned bounds keep the frame derivation out of the
+    # plan, which is what makes this legal under streaming at all
+    return hist_partial(
+        src, "val", group_cols=["win", "event_type"], nbins=nbins, bounds=bounds
     )
 
 

@@ -191,3 +191,31 @@ def test_cli_sketch_verbs(spark, tmp_path):
     # the estimate without rescanning the data
     [from_partial] = hll_estimate(spark.read.parquet(out)).collect()
     assert from_partial["est_distinct"] == whole["est_distinct"]
+
+
+def test_hist_quantiles_rejects_out_of_range_q(spark, values):
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        hist_quantile_sketch(values, "x", [0.0, 0.5], nbins=16).collect()
+    from neural_search_spark.operators.histogram import hist_sql
+
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        hist_sql("x", "t", [1.5])
+
+
+def test_cms_estimate_grouped_emits_zero_rows_for_absent_candidates(spark):
+    from neural_search_spark.operators.cms import cms_estimate_grouped
+
+    stream = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "b")], "grp string, val string"
+    )
+    sketch = cms_partial(stream, "val", group_cols=["grp"], d=4, w=64)
+    cand = spark.createDataFrame([("a",), ("b",), ("zzz",)], "val string")
+    est = {
+        (r["grp"], r["val"]): r["est_count"]
+        for r in cms_estimate_grouped(sketch, cand, ["grp"], d=4, w=64).collect()
+    }
+    # full domain: every (group, candidate) pair present, zeros not omitted
+    assert est == {
+        ("g1", "a"): 2, ("g1", "b"): 0, ("g1", "zzz"): 0,
+        ("g2", "a"): 0, ("g2", "b"): 1, ("g2", "zzz"): 0,
+    }

@@ -173,3 +173,13 @@ def test_cardinality_facet_near_exact(spark):
     # vals); query 1 the odd residues (150)
     for qid in (0, 1):
         assert abs(got[qid] - 150) / 150 < 0.26
+
+
+def test_split_sql_case_single_fraction_is_valid_sql():
+    import duckdb
+
+    from neural_search_spark.operators.splits import split_sql_case
+
+    expr = split_sql_case("x", {"all": 1.0})
+    [(v,)] = duckdb.sql(f"SELECT {expr} FROM (SELECT 1 AS x)").fetchall()
+    assert v == "all"
