@@ -236,6 +236,8 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
             )
             from neural_search_spark.plans.pipeline_entry import (
                 q_ann_topk_sq8,
+                q_events_heavy_hitters,
+                q_events_windowed_quantiles,
                 q_pack_sequences,
                 q_sketch_cardinality,
                 q_sketch_heavy_hitters,
@@ -248,6 +250,8 @@ def run_suite(spark, sf_dir: str, cores: int) -> dict[str, float]:
                 "sketch_cardinality": q_sketch_cardinality,
                 "sketch_heavy_hitters": q_sketch_heavy_hitters,
                 "sketch_quantiles": q_sketch_quantiles,
+                "events_heavy_hitters": q_events_heavy_hitters,
+                "events_windowed_quantiles": q_events_windowed_quantiles,
                 "pack_sequences": q_pack_sequences,
                 "ann_topk_sq8": q_ann_topk_sq8,
             }.items():

@@ -142,11 +142,48 @@ def cmd_sketch(args) -> int:
     tier (build partials per slice, merge downstream without rescans)."""
     from pyspark.sql import functions as F
 
-    from .operators.cms import cms_estimate, cms_partial
-    from .operators.histogram import hist_partial, hist_quantiles
-    from .operators.sketches import hll_estimate, hll_partial
+    if not args.merge_inputs and not (args.input and args.value_col):
+        print(json.dumps(
+            {"error": "need --input and --value-col, or --merge-inputs"}
+        ))
+        return 2
+
+    from functools import reduce
+
+    from .operators.cms import cms_estimate, cms_merge, cms_partial
+    from .operators.histogram import hist_merge, hist_partial, hist_quantiles
+    from .operators.sketches import hll_estimate, hll_merge, hll_partial
 
     spark = _spark("nss-sketch")
+    if args.merge_inputs:
+        # cross-slice merge: union PERSISTED partials (registers / counters /
+        # bins written by earlier `sketch ... --output` runs) and finish —
+        # the raw data is never rescanned, which is the whole point of the
+        # sketch tier at 10^12 rows
+        parts = [spark.read.parquet(p) for p in args.merge_inputs.split(",")]
+        unioned = reduce(lambda a, b: a.unionByName(b), parts)
+        if args.kind == "hll":
+            merged = hll_merge(unioned)
+            [row] = hll_estimate(merged, p=args.p).collect()
+            print(json.dumps({"kind": "hll", "merged": len(parts),
+                              "est_distinct": row["est_distinct"]}))
+        elif args.kind == "cms":
+            merged = cms_merge(unioned)
+            top = (
+                merged.orderBy(F.desc("cnt")).limit(args.top).collect()
+            )
+            print(json.dumps({"kind": "cms", "merged": len(parts),
+                              "top_counters": [[r["depth"], r["bucket"], r["cnt"]]
+                                               for r in top]}))
+        else:
+            merged = hist_merge(unioned)
+            qs = [float(x) for x in args.quantiles.split(",")]
+            rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
+            print(json.dumps({"kind": "quantiles", "merged": len(parts),
+                              "est": {str(r["q"]): r["est"] for r in rows}}))
+        if args.output:
+            merged.write.mode("overwrite").parquet(args.output)
+        return 0
     df = spark.read.parquet(args.input)
     if args.kind == "hll":
         partial = hll_partial(df, args.value_col, p=args.p)
@@ -778,8 +815,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sk = sub.add_parser("sketch")
     sk.add_argument("kind", choices=["hll", "cms", "quantiles"])
-    sk.add_argument("--input", required=True)
-    sk.add_argument("--value-col", required=True)
+    sk.add_argument("--input", default=None)
+    sk.add_argument("--value-col", default=None)
+    sk.add_argument("--merge-inputs", default=None,
+                    help="comma-separated persisted-partial dirs: merge + "
+                         "finish WITHOUT rescanning raw data")
     sk.add_argument("--output", default=None,
                     help="write the durable partial (registers/counters/bins)")
     sk.add_argument("--p", type=int, default=8)

@@ -219,3 +219,34 @@ def test_cms_estimate_grouped_emits_zero_rows_for_absent_candidates(spark):
         ("g1", "a"): 2, ("g1", "b"): 0, ("g1", "zzz"): 0,
         ("g2", "a"): 0, ("g2", "b"): 1, ("g2", "zzz"): 0,
     }
+
+
+def test_cli_sketch_merge_equals_whole(spark, tmp_path):
+    """`cli sketch hll --merge-inputs p1,p2`: persisted slice partials merge
+    + finish to EXACTLY the whole-data estimate, raw data never rescanned —
+    the cross-slice story driven through the spark-submit surface."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*a):
+        p = subprocess.run(
+            [sys.executable, "-m", "neural_search_spark.cli", "sketch", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-1500:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    run("hll", "--input", s0, "--value-col", "text", "--output", p0)
+    run("hll", "--input", s1, "--value-col", "text", "--output", p1)
+    merged = run("hll", "--merge-inputs", f"{p0},{p1}")
+    whole = run("hll", "--input",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--value-col", "text")
+    assert merged["est_distinct"] == whole["est_distinct"]
+    assert merged["merged"] == 2
