@@ -344,13 +344,15 @@ def main() -> None:
         "positional_postings_bytes": int(extras.get("positional_postings_bytes", 0)),
         "serve_warm_ms": round(extras.get("serve_warm_ms", 0.0), 3),
         "total_all_ops": round(sum(queries.values()), 3),
-        # VM-state evidence recorded WITH the numbers: pure-JVM sha256 over
-        # spark.range, warm, at the start AND end of the suite (degradation
-        # is bursty — one point under-attributes). Self-consistent across
-        # rounds (always this session's local[N]); BASELINE.md documents a
-        # measured 4.5-5.7x degraded phase. Compare rounds through these.
-        "jvm_probe_start_s": jvm_probe_start,
-        "jvm_probe_end_s": jvm_probe_end,
+        # VM-state evidence recorded WITH the numbers, at the start AND end
+        # of the suite (degradation is bursty): `jvm` = pure-JVM sha256,
+        # `pipe` = pandas-UDF identity pass — the host's two observed
+        # degradation modes do not track each other (BASELINE.md). Compare
+        # rounds through these before reading anything into the headline.
+        "jvm_probe_start_s": jvm_probe_start["jvm"],
+        "jvm_probe_end_s": jvm_probe_end["jvm"],
+        "pipe_probe_start_s": jvm_probe_start["pipe"],
+        "pipe_probe_end_s": jvm_probe_end["pipe"],
     }
 
     if scaling:
@@ -524,19 +526,37 @@ def _count_chunk(texts: list) -> int:
     return sum(len(tokenize_py(t)) for t in texts)
 
 
-def _jvm_drift_probe(spark) -> float:
-    """Warm pure-JVM sha256 wall time (min of 2 after a warmup run): the
-    code-independent canary for this host's JVM-degraded phases. Recorded in
-    every bench line so cross-round comparisons can attribute drift."""
-    def once() -> float:
+def _jvm_drift_probe(spark) -> dict:
+    """Two warm code-independent canaries (min of 2 after a warmup each),
+    because this host degrades in (at least) two distinct modes that do NOT
+    track each other: `jvm` — pure-JVM sha256 aggregate (no Python, no
+    shuffle), catches JVM-compute phases (seen 16.8 s vs the ~0.3-0.6 s
+    floor); `pipe` — a pandas-UDF identity pass (Python workers + Arrow
+    pipes), catches the multi-process/syscall phases that leave the JVM
+    probe at its floor while every real operator runs 2-3x slow. Recorded
+    in every bench line so cross-round comparisons can attribute drift."""
+    def jvm_once() -> float:
         t0 = time.time()
         spark.range(20_000_000).select(
             F.sha2(F.col("id").cast("string"), 256).alias("h")
         ).agg(F.max("h")).collect()
         return time.time() - t0
 
-    once()  # warmup
-    return round(min(once(), once()), 3)
+    def _ident(it):
+        yield from it
+
+    def pipe_once() -> float:
+        t0 = time.time()
+        spark.range(2_000_000, numPartitions=8).mapInPandas(
+            _ident, schema="id long"
+        ).count()
+        return time.time() - t0
+
+    jvm_once()
+    jvm = min(jvm_once(), jvm_once())
+    pipe_once()
+    pipe = min(pipe_once(), pipe_once())
+    return {"jvm": round(jvm, 3), "pipe": round(pipe, 3)}
 
 
 def run_pack_scaling(n_docs: int, cores_pair=(1, 4), repeats: int = 2) -> dict:
