@@ -222,10 +222,14 @@ def cms_topk(
     est = cms_estimate(sketch, candidates, value_col=value_col, d=d, w=w)
     from pyspark.sql import Window
 
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a per-partition
+    # top-k + driver merge, no single-partition sort — so the candidate set
+    # (the whole vocabulary at web scale) never funnels through one task.
+    # The row_number window then only ever sees the k survivors.
+    top = est.orderBy(F.col("est_count").desc(), F.col("val").asc()).limit(k)
     win = Window.orderBy(F.col("est_count").desc(), F.col("val").asc())
     return (
-        est.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(win))
         .select("rank", "val", "est_count")
     )
 

@@ -56,7 +56,14 @@ _ALPHA_SMALL = {
 
 
 def _alpha_expr(m: int) -> str:
-    return _ALPHA_SMALL.get(m, f"0.7213 / (1.0 + 1.079 / {m})")
+    # The asymptotic branch needs the same CAST discipline as the table:
+    # Spark's F.expr parses a bare 0.7213 as DECIMAL and the whole quotient
+    # becomes DECIMAL(21,14) (0.71827262454208) while DuckDB computes DOUBLE
+    # (0.7182725932495458) — a 4.4e-8 relative skew that flips 4dp rounding
+    # on any estimate >= ~10^4.
+    return _ALPHA_SMALL.get(
+        m, f"CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / {m})"
+    )
 
 
 def hll_register_rho(value: Column, p: int = 8, hash_bits: int = 48) -> tuple[Column, Column]:

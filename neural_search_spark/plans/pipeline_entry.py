@@ -1896,6 +1896,48 @@ vals AS (
 SQL_SKETCH_CARDINALITY = _sketch_sql()
 
 
+def q_sketch_cardinality_large(spark, sf_dir):
+    """Large-cardinality HLL regression pin: p=8 raw-branch estimates over
+    ~2x10^4 distincts per group (lineitem line keys by returnflag). At this
+    magnitude a 4.4e-8 relative skew in alpha moves the estimate by ~1e-3 —
+    deterministically across a 4dp rounding boundary — so this entry is red
+    on any tree where ``_alpha_expr``'s asymptotic branch (sketches.py)
+    regresses to DECIMAL arithmetic (the round-3 ``sketch_cardinality``
+    failure), regardless of which branch the smaller entries exercise."""
+    from ..operators.sketches import hll_cardinality
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_partkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("val"),
+    )
+    return hll_cardinality(vals, "val", ["grp"]).select("grp", "est_distinct")
+
+
+def _sketch_large_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    return (
+        """WITH vals AS (
+  SELECT l_returnflag AS grp,
+         l_orderkey::VARCHAR || ':' || l_partkey::VARCHAR || ':'
+           || l_linenumber::VARCHAR AS val
+  FROM lineitem
+),
+"""
+        + hll_sql("val", "vals", ["grp"]).strip()
+    )
+
+
+SQL_SKETCH_CARDINALITY_LARGE = _sketch_large_sql()
+
+
 # --- frequency sketching (Count-Min heavy hitters) ----------------------------
 
 _CMS_D, _CMS_W, _CMS_K = 4, 32, 20
@@ -2100,7 +2142,7 @@ SELECT chunk_id, count(*) AS n_docs,
        sum(greatest(
          least(tok_start + n_tokens, (chunk_id + 1) * {_PACK_BUDGET})
            - greatest(tok_start, chunk_id * {_PACK_BUDGET}),
-         0)) AS n_tokens
+         0))::BIGINT AS n_tokens
 FROM spans
 GROUP BY chunk_id
 """
@@ -2234,6 +2276,7 @@ def pipeline_queries() -> dict:
         "events_heavy_hitters": q_events_heavy_hitters,
         "events_windowed_quantiles": q_events_windowed_quantiles,
         "sketch_cardinality": q_sketch_cardinality,
+        "sketch_cardinality_large": q_sketch_cardinality_large,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
         "text_collocations": q_text_collocations,
@@ -2284,6 +2327,7 @@ def pipeline_oracles() -> dict:
         # k-means is mirrored (unrolled Lloyd CTEs, bit-exact folds).
         "ann_topk_ivf": SQL_ANN_TOPK_IVF,
         "sketch_cardinality": SQL_SKETCH_CARDINALITY,
+        "sketch_cardinality_large": SQL_SKETCH_CARDINALITY_LARGE,
         "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
         "sketch_quantiles": SQL_SKETCH_QUANTILES,
         "text_collocations": SQL_TEXT_COLLOCATIONS,

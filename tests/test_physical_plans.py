@@ -267,6 +267,25 @@ def test_cms_estimate_broadcasts_sketch_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cms_topk_no_global_sort_over_candidates(spark):
+    """cms_topk's ranking must not funnel the candidate set (the whole
+    vocabulary at web scale) through a single-partition Window: the top-k
+    cut compiles to TakeOrderedAndProject (per-partition top-k + driver
+    merge) and the row_number window only sees the k survivors."""
+    from neural_search_spark.operators.cms import cms_topk
+
+    stream = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("val")
+    )
+    plan = _plan(cms_topk(stream, "val", stream.select("val").distinct(), k=5))
+    assert "TakeOrderedAndProject" in plan
+    # the only Window in the plan sits ABOVE the TakeOrderedAndProject
+    # (k-bounded); no Window may consume the unbounded estimate relation
+    win_pos = plan.find("Window")
+    top_pos = plan.find("TakeOrderedAndProject")
+    assert win_pos != -1 and top_pos != -1 and win_pos < top_pos
+
+
 def test_hist_partial_is_one_bounded_aggregation(spark):
     """hist_partial: one partial_count -> exchange -> final count pair over
     the bin projection (map-side combine collapses each partition to at most
