@@ -176,7 +176,13 @@ def cmd_sketch(args) -> int:
                               "top_counters": [[r["depth"], r["bucket"], r["cnt"]]
                                                for r in top]}))
         else:
-            merged = hist_merge(unioned)
+            try:
+                merged = hist_merge(unioned)
+            except ValueError as exc:
+                # mixed [lo,hi] frames: report the contract violation as a
+                # JSON error line (like every other verb), not a traceback
+                print(json.dumps({"error": str(exc)}))
+                return 2
             qs = [float(x) for x in args.quantiles.split(",")]
             rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
             print(json.dumps({"kind": "quantiles", "merged": len(parts),
@@ -208,7 +214,19 @@ def cmd_sketch(args) -> int:
         print(json.dumps({"kind": "cms", "d": args.depth, "w": args.width,
                           "top": [[r["val"], r["est_count"]] for r in top]}))
     else:  # quantiles
-        partial = hist_partial(df, args.value_col, nbins=args.bins)
+        # per-slice DERIVED frames almost never match across slices, so
+        # partials meant for a later --merge-inputs MUST pin the frame:
+        # --bounds is how the build-partials-then-merge-without-rescan
+        # workflow stays usable for quantiles
+        bounds = None
+        if args.bounds:
+            try:
+                lo, hi = (float(x) for x in args.bounds.split(","))
+            except ValueError:
+                print(json.dumps({"error": f"--bounds must be 'lo,hi', got {args.bounds!r}"}))
+                return 2
+            bounds = (lo, hi)
+        partial = hist_partial(df, args.value_col, nbins=args.bins, bounds=bounds)
         if args.output:
             partial.write.mode("overwrite").parquet(args.output)
             partial = spark.read.parquet(args.output)
@@ -401,10 +419,15 @@ def cmd_serve(args) -> int:
         from .query.percolate import PercolateMatcher
 
         matcher = PercolateMatcher.from_jsonl(args.percolate_queries)
+    # the reference's metrics middleware (main.py:96-110) counts requests and
+    # search latency per process; same counters here, reported by {"stats"}
+    t_up = time.time()
+    counters = {"requests": 0, "searches": 0, "search_ms_total": 0.0}
     for line in sys.stdin:
         text = line.strip()
         if not text:
             continue
+        counters["requests"] += 1
         if text == ":refresh":
             reader.refresh()
             print(
@@ -436,6 +459,55 @@ def cmd_serve(args) -> int:
         if text.startswith("{"):
             try:
                 req = json.loads(text)
+                if "health" in req:
+                    # the reference's GET /health (main.py:129-151): liveness
+                    # plus what this replica has loaded; answers even when
+                    # stats extras are missing (MultiReader), never an error
+                    from . import __version__
+
+                    srow = getattr(reader, "stats", None) or {}
+                    out = {
+                        "status": "healthy",
+                        "version": __version__,
+                        "snapshot": getattr(reader, "snapshot", ""),
+                        "mode": "multi" if getattr(args, "shards", None) else "single",
+                        "n_terms": len(getattr(reader, "idf", None) or {}),
+                    }
+                    if "n_docs" in srow:
+                        out["n_docs"] = int(srow["n_docs"])
+                    print(json.dumps(out), flush=True)
+                    continue
+                if "stats" in req:
+                    # the reference's GET /metrics (main.py:156-163) as one
+                    # JSON line: request counters, cache hit rates, and the
+                    # loaded index's corpus stats
+                    cs = None
+                    if cache is not None:
+                        tot = cache.stats.hits + cache.stats.misses
+                        cs = {
+                            "hits": cache.stats.hits,
+                            "misses": cache.stats.misses,
+                            "hit_rate": round(cache.stats.hits / tot, 4) if tot else 0.0,
+                            "evictions": cache.stats.evictions,
+                            "expirations": cache.stats.expirations,
+                            "entries": len(cache),
+                        }
+                    srow = getattr(reader, "stats", None) or {}
+                    out = {
+                        "snapshot": getattr(reader, "snapshot", ""),
+                        "uptime_s": round(time.time() - t_up, 3),
+                        "requests": {
+                            **counters,
+                            "search_ms_total": round(counters["search_ms_total"], 3),
+                        },
+                        "cache": cs,
+                        "index": {
+                            k: srow[k] for k in ("n_docs", "avgdl", "k1", "b") if k in srow
+                        },
+                        "n_terms": len(getattr(reader, "idf", None) or {}),
+                    }
+                    print(json.dumps(out), flush=True)
+                    continue
                 if "phrase" in req:
                     # exact-phrase retrieval from a positional index:
                     # {"phrase": str, "top_k"?: int} -> [(doc_id, phrase_tf)]
@@ -718,6 +790,8 @@ def cmd_serve(args) -> int:
                 **extra,
             )
         ms = (time.perf_counter() - t0) * 1000
+        counters["searches"] += 1
+        counters["search_ms_total"] += ms
         hit_rows = [{"doc_id": d, "score": s} for d, s in hits]
         if hydrate:
             try:
@@ -828,6 +902,10 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--top", type=int, default=10)
     sk.add_argument("--bins", type=int, default=256)
     sk.add_argument("--quantiles", default="0.5,0.9,0.99")
+    sk.add_argument("--bounds", default=None,
+                    help="'lo,hi': pin the histogram frame so per-slice "
+                         "partials merge (quantiles kind only; derived "
+                         "frames differ across slices and refuse to merge)")
     sk.set_defaults(fn=cmd_sketch)
 
     a = sub.add_parser("add")

@@ -86,6 +86,9 @@ class TtlLruCache:
     def delete(self, key: str) -> bool:
         return self._entries.pop(self._hash_key(key), None) is not None
 
+    def __len__(self) -> int:
+        return len(self._entries)
+
     def exists(self, key: str) -> bool:
         h = self._hash_key(key)
         hit = self._entries.get(h)

@@ -250,3 +250,48 @@ def test_cli_sketch_merge_equals_whole(spark, tmp_path):
                 "--value-col", "text")
     assert merged["est_distinct"] == whole["est_distinct"]
     assert merged["merged"] == 2
+
+
+def test_cli_sketch_quantiles_bounds_merge(spark, tmp_path):
+    """`cli sketch quantiles --bounds lo,hi` pins the histogram frame so
+    per-slice partials actually merge (derived frames differ per slice and
+    refuse); merged+finished == whole-data estimate under the same frame.
+    Without --bounds the merge reports the mixed-frame contract violation as
+    a JSON error line, not a traceback."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*a, expect=0):
+        p = subprocess.run(
+            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
+             "quantiles", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    bounds = "0,1000"
+    run("--input", s0, "--value-col", "doc_id", "--output", p0,
+        "--bounds", bounds)
+    run("--input", s1, "--value-col", "doc_id", "--output", p1,
+        "--bounds", bounds)
+    merged = run("--merge-inputs", f"{p0},{p1}")
+    whole = run("--input", "/root/testdata/sf0.001/documents.parquet",
+                "--value-col", "doc_id", "--bounds", bounds)
+    assert merged["est"] == whole["est"]
+    assert merged["merged"] == 2
+    # derived-frame partial mixed with a pinned one: JSON error, exit 2
+    pbad = str(tmp_path / "pbad")
+    run("--input", s0, "--value-col", "doc_id", "--output", pbad)
+    err = run("--merge-inputs", f"{p0},{pbad}", expect=2)
+    assert "frames" in err["error"]
+    # malformed --bounds is a request error, not a traceback
+    err = run("--input", s0, "--value-col", "doc_id",
+              "--bounds", "nope", expect=2)
+    assert "--bounds" in err["error"]

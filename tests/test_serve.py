@@ -549,6 +549,49 @@ def test_cli_serve_hydrate(served):
         assert h["url"] and h["content"] and "snippet" in h
 
 
+def test_cli_serve_health_and_stats(served):
+    """{"health"} / {"stats"} request lines mirror the reference's GET
+    /health and GET /metrics endpoints (reference main.py:129,156): liveness
+    plus what the replica loaded, and request counters + cache hit rates +
+    corpus stats — on the same stdin loop as every other request form."""
+    import json
+    import subprocess
+    import sys
+
+    _, base_reader = served
+    lines = [
+        json.dumps({"health": True}),
+        json.dumps({"query": "w0005 w0010", "top_k": 2}),
+        json.dumps({"query": "w0005 w0010", "top_k": 2}),
+        json.dumps({"stats": True}),
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", base_reader.root],
+        input="\n".join(lines) + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    assert len(out) == 4
+    health = out[0]
+    assert health["status"] == "healthy"
+    assert health["mode"] == "single"
+    assert health["n_docs"] == 400
+    assert health["n_terms"] > 0
+    assert health["version"]
+    stats = out[3]
+    assert stats["requests"]["requests"] == 4
+    assert stats["requests"]["searches"] == 2
+    assert stats["requests"]["search_ms_total"] > 0
+    # the repeated identical query hits the postings cache the second time
+    assert stats["cache"]["hits"] > 0
+    assert stats["cache"]["entries"] > 0
+    assert stats["index"]["n_docs"] == 400
+    assert stats["index"]["avgdl"] > 0
+    assert stats["uptime_s"] >= 0
+
+
 def test_multireader_scatter_gather_equals_merged_index(spark, tmp_path_factory):
     """MultiReader over partial indexes == IndexReader over the physical
     merge: same doc ids (merged id space), same scores (1e-9) — the global
