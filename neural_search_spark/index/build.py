@@ -246,27 +246,6 @@ def build_index(
                 with_ids = assign_doc_ids(corpus, order_col=url_col)
             else:
                 with_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
-            # doc_len computed inline in the docmap projection — a per-row pandas
-            # UDF in the same stage, no shuffle join against a separate
-            # doc_lengths pass (serial-fraction killer at small SF, one less
-            # barrier at any SF)
-            from ..functions.tokenize import token_count_udf
-
-            docmap_df = with_ids.select(
-                (F.col("doc_id") / span).cast("int").alias("shard"),
-                "doc_id",
-                F.col(url_col).alias("url"),
-                token_count_udf(F.col(text_col)).alias("doc_len"),
-            )
-            docmap_df.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
-
-            dm = spark.read.parquet(paths.docmap)
-            row = dm.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.avg("doc_len").alias("avgdl"),
-                F.max("shard").alias("max_shard"),
-            ).collect()[0]
-            n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
 
             dt = _tokenized(with_ids)
             # persist the tokenized rows across phases: phase 2 (posting encode)
@@ -279,6 +258,39 @@ def build_index(
 
             dt = dt.persist(StorageLevel.MEMORY_AND_DISK)
             dt_cached = dt
+
+            # docmap doc_len comes FROM the tokenize pass (dt rows carry it),
+            # not from a second token_count_udf scan: the count UDF runs the
+            # same findall regex as full tokenization, so deriving the length
+            # here removes an entire text read + Arrow pipe + regex pass from
+            # phase 1. The price is n_docs-row exchanges (max-combine collapses
+            # each doc's term rows map-side; the url side is a column-pruned
+            # scan that never reads text) — at web scale a slim doc_id shuffle
+            # beats rescanning the text column outright. The left join keeps
+            # zero-token docs (no dt rows) in the docmap with doc_len = 0, and
+            # the shard repartition gives one output file per shard partition
+            # instead of tasks-times-shards fragments from the join layout.
+            lens = dt.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+            docmap_df = (
+                with_ids.select("doc_id", F.col(url_col).alias("url"))
+                .join(lens, "doc_id", "left")
+                .select(
+                    (F.col("doc_id") / span).cast("int").alias("shard"),
+                    "doc_id",
+                    "url",
+                    F.coalesce(F.col("doc_len"), F.lit(0)).cast("int").alias("doc_len"),
+                )
+                .repartition(F.col("shard"))
+            )
+            docmap_df.write.mode("overwrite").partitionBy("shard").parquet(paths.docmap)
+
+            dm = spark.read.parquet(paths.docmap)
+            row = dm.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.max("shard").alias("max_shard"),
+            ).collect()[0]
+            n_docs, avgdl, max_shard = int(row["n"]), float(row["avgdl"] or 0.0), int(row["max_shard"])
             # the vocabulary-sized term stats feed two consumers (average_idf agg
             # + floored write); persisting avoids recomputing the term groupBy
             ts = term_stats(dt, n_docs).persist()
