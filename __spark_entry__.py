@@ -53,7 +53,7 @@ _PRIORITY = [
     "rrf_fusion",
     "search_eval",
     "phrase_bm25_topk",
-    "proximity_topk",
+    "bm25_topk_boost",
     "best_snippet",
     "facet_counts",
     "facet_histogram",
@@ -82,10 +82,11 @@ _PRIORITY = [
     "bm25_topk_syn",
     "bm25_explain",
     "bm25f_topk",
-    "bm25_topk_boost",
-    # last two stale slots: strongest indirect r03 coverage (stem_wand /
-    # phrase_topk_indexed exercise the same machinery), so they lose least
-    # if a 50-entry gate cap cuts here
+    # last THREE stale slots (3 head entries + 50 stale = 53, so a 50-entry
+    # gate cap cuts exactly here): strongest indirect r03 coverage —
+    # proximity_topk_indexed / stem_wand / phrase_topk_indexed exercise the
+    # same machinery — so they lose least if the cap cuts them
+    "proximity_topk",
     "bm25_topk_stem",
     "phrase_topk",
     "fuzzy_topk",

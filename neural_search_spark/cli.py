@@ -183,8 +183,15 @@ def cmd_sketch(args) -> int:
                 # JSON error line (like every other verb), not a traceback
                 print(json.dumps({"error": str(exc)}))
                 return 2
-            qs = [float(x) for x in args.quantiles.split(",")]
-            rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
+            try:
+                qs = [float(x) for x in args.quantiles.split(",")]
+                # nbins comes from the partials themselves (recorded at build
+                # time); --bins is ignored here, so merging 128-bin partials
+                # under the default --bins 256 cannot mis-scale the estimates
+                rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
+            except ValueError as exc:
+                print(json.dumps({"error": str(exc)}))
+                return 2
             print(json.dumps({"kind": "quantiles", "merged": len(parts),
                               "est": {str(r["q"]): r["est"] for r in rows}}))
         if args.output:
@@ -225,13 +232,24 @@ def cmd_sketch(args) -> int:
             except ValueError:
                 print(json.dumps({"error": f"--bounds must be 'lo,hi', got {args.bounds!r}"}))
                 return 2
+            # `not lo < hi` (rather than `lo >= hi`) also rejects NaN, which
+            # would otherwise clamp every value into an edge bin silently
+            if not lo < hi:
+                print(json.dumps(
+                    {"error": f"--bounds needs lo < hi, got {args.bounds!r}"}
+                ))
+                return 2
             bounds = (lo, hi)
         partial = hist_partial(df, args.value_col, nbins=args.bins, bounds=bounds)
         if args.output:
             partial.write.mode("overwrite").parquet(args.output)
             partial = spark.read.parquet(args.output)
-        qs = [float(x) for x in args.quantiles.split(",")]
-        rows = hist_quantiles(partial, qs, nbins=args.bins).collect()
+        try:
+            qs = [float(x) for x in args.quantiles.split(",")]
+            rows = hist_quantiles(partial, qs, nbins=args.bins).collect()
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 2
         print(json.dumps({"kind": "quantiles", "bins": args.bins,
                           "est": {str(r["q"]): r["est"] for r in rows}}))
     return 0
@@ -445,6 +463,66 @@ def cmd_serve(args) -> int:
         # offset+top_k); search_after is the cursor form of deep pagination
         # (the [score, doc_id] of the last hit received; pages tile with
         # offset paging on a fixed snapshot)
+        # liveness/metrics probes answer BEFORE the rate limiter (and are
+        # exempt from it): the reference's GET /health stays answerable under
+        # load — a probe that returns "rate limited" mid-burst would get the
+        # replica drained exactly when it is healthy-but-busy — and probes
+        # must not consume query slots
+        probe = None
+        if text.startswith("{"):
+            try:
+                probe = json.loads(text)
+            except json.JSONDecodeError:
+                probe = None  # fall through; the request path reports it
+        if isinstance(probe, dict) and ("health" in probe or "stats" in probe):
+            if "health" in probe:
+                # the reference's GET /health (main.py:129-151): liveness
+                # plus what this replica has loaded; answers even when
+                # stats extras are missing (MultiReader), never an error
+                from . import __version__
+
+                srow = getattr(reader, "stats", None) or {}
+                out = {
+                    "status": "healthy",
+                    "version": __version__,
+                    "snapshot": getattr(reader, "snapshot", ""),
+                    "mode": "multi" if getattr(args, "shards", None) else "single",
+                    "n_terms": len(getattr(reader, "idf", None) or {}),
+                }
+                if "n_docs" in srow:
+                    out["n_docs"] = int(srow["n_docs"])
+                print(json.dumps(out), flush=True)
+                continue
+            # the reference's GET /metrics (main.py:156-163) as one
+            # JSON line: request counters, cache hit rates, and the
+            # loaded index's corpus stats
+            cs = None
+            if cache is not None:
+                tot = cache.stats.hits + cache.stats.misses
+                cs = {
+                    "hits": cache.stats.hits,
+                    "misses": cache.stats.misses,
+                    "hit_rate": round(cache.stats.hits / tot, 4) if tot else 0.0,
+                    "evictions": cache.stats.evictions,
+                    "expirations": cache.stats.expirations,
+                    "entries": cache.live_entries(),
+                }
+            srow = getattr(reader, "stats", None) or {}
+            out = {
+                "snapshot": getattr(reader, "snapshot", ""),
+                "uptime_s": round(time.time() - t_up, 3),
+                "requests": {
+                    **counters,
+                    "search_ms_total": round(counters["search_ms_total"], 3),
+                },
+                "cache": cs,
+                "index": {
+                    k: srow[k] for k in ("n_docs", "avgdl", "k1", "b") if k in srow
+                },
+                "n_terms": len(getattr(reader, "idf", None) or {}),
+            }
+            print(json.dumps(out), flush=True)
+            continue
         if limiter is not None:
             ok, retry_after = limiter.check()
             if not ok:
@@ -459,55 +537,6 @@ def cmd_serve(args) -> int:
         if text.startswith("{"):
             try:
                 req = json.loads(text)
-                if "health" in req:
-                    # the reference's GET /health (main.py:129-151): liveness
-                    # plus what this replica has loaded; answers even when
-                    # stats extras are missing (MultiReader), never an error
-                    from . import __version__
-
-                    srow = getattr(reader, "stats", None) or {}
-                    out = {
-                        "status": "healthy",
-                        "version": __version__,
-                        "snapshot": getattr(reader, "snapshot", ""),
-                        "mode": "multi" if getattr(args, "shards", None) else "single",
-                        "n_terms": len(getattr(reader, "idf", None) or {}),
-                    }
-                    if "n_docs" in srow:
-                        out["n_docs"] = int(srow["n_docs"])
-                    print(json.dumps(out), flush=True)
-                    continue
-                if "stats" in req:
-                    # the reference's GET /metrics (main.py:156-163) as one
-                    # JSON line: request counters, cache hit rates, and the
-                    # loaded index's corpus stats
-                    cs = None
-                    if cache is not None:
-                        tot = cache.stats.hits + cache.stats.misses
-                        cs = {
-                            "hits": cache.stats.hits,
-                            "misses": cache.stats.misses,
-                            "hit_rate": round(cache.stats.hits / tot, 4) if tot else 0.0,
-                            "evictions": cache.stats.evictions,
-                            "expirations": cache.stats.expirations,
-                            "entries": len(cache),
-                        }
-                    srow = getattr(reader, "stats", None) or {}
-                    out = {
-                        "snapshot": getattr(reader, "snapshot", ""),
-                        "uptime_s": round(time.time() - t_up, 3),
-                        "requests": {
-                            **counters,
-                            "search_ms_total": round(counters["search_ms_total"], 3),
-                        },
-                        "cache": cs,
-                        "index": {
-                            k: srow[k] for k in ("n_docs", "avgdl", "k1", "b") if k in srow
-                        },
-                        "n_terms": len(getattr(reader, "idf", None) or {}),
-                    }
-                    print(json.dumps(out), flush=True)
-                    continue
                 if "phrase" in req:
                     # exact-phrase retrieval from a positional index:
                     # {"phrase": str, "top_k"?: int} -> [(doc_id, phrase_tf)]
@@ -900,7 +929,10 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--depth", type=int, default=4)
     sk.add_argument("--width", type=int, default=2048)
     sk.add_argument("--top", type=int, default=10)
-    sk.add_argument("--bins", type=int, default=256)
+    sk.add_argument("--bins", type=int, default=256,
+                    help="bin count when BUILDING quantile partials; "
+                         "--merge-inputs uses the nbins recorded in the "
+                         "partials and ignores this")
     sk.add_argument("--quantiles", default="0.5,0.9,0.99")
     sk.add_argument("--bounds", default=None,
                     help="'lo,hi': pin the histogram frame so per-slice "

@@ -31,6 +31,14 @@ def assign_doc_ids(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``doc_id`` = dense rank of ``order_col`` (0-based, no gaps)."""
+    if "doc_id" in corpus.columns:
+        # appending a second doc_id column would only surface much later as
+        # an AMBIGUOUS_REFERENCE inside whatever consumes the frame — fail
+        # here, at the call that caused it
+        raise ValueError(
+            "corpus already has a doc_id column; pass id_col='doc_id' to "
+            "build_index (or drop/rename the column) instead of re-assigning"
+        )
     spark = corpus.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parts = corpus.repartitionByRange(n, F.col(order_col)).sortWithinPartitions(order_col)

@@ -51,8 +51,9 @@ def hist_partial(
     nbins: int = 256,
     bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
-    """(group_cols..., lo, hi, bin, cnt): the sketch — at most ``nbins``
-    counter rows per group plus the [lo, hi] frame they were binned over.
+    """(group_cols..., lo, hi, bin, cnt, nbins): the sketch — at most
+    ``nbins`` counter rows per group plus the [lo, hi, nbins] frame they
+    were binned over.
     ``bounds`` pins the frame explicitly (what a 100 TB pipeline does: fix
     the frame once, then every slice's partial is built against the same
     bins and merges exactly); by default one min/max agg over the input
@@ -87,6 +88,13 @@ def hist_partial(
         )
         .groupBy(*group_cols, "lo", "hi", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the bin count is part of the frame: a persisted partial finished or
+        # merged later (CLI --merge-inputs) must be read back with the SAME
+        # nbins or every estimate silently compresses/stretches — recording it
+        # lets hist_quantiles use the build-time value and hist_merge reject
+        # mixed-bin unions (projection after the agg: still one stateful agg
+        # in the streaming reuse)
+        .withColumn("nbins", F.lit(int(nbins)))
     )
 
 
@@ -108,10 +116,13 @@ def hist_merge(
     who built every partial against the same explicit ``bounds`` may pass
     ``validate=False`` to keep the merge plan-only."""
     group_cols = list(group_cols or [])
+    # nbins is part of the frame when present (partials written before it was
+    # recorded merge on [lo, hi] alone, the old behavior)
+    frame_cols = ["lo", "hi"] + (["nbins"] if "nbins" in partials.columns else [])
     if validate:
         mixed = (
             partials.groupBy(*group_cols)
-            .agg(F.count_distinct(F.struct("lo", "hi")).alias("nf"))
+            .agg(F.count_distinct(F.struct(*frame_cols)).alias("nf"))
             .where(F.col("nf") > 1)
             .limit(1)
             .count()
@@ -119,10 +130,11 @@ def hist_merge(
         if mixed:
             raise ValueError(
                 "hist_merge: an output group unions partials with different "
-                "[lo, hi] frames; sketches are only mergeable against "
-                "identical bins — build them with an explicit shared `bounds`"
+                "[lo, hi] frames or bin counts; sketches are only mergeable "
+                "against identical bins — build them with an explicit shared "
+                "`bounds` and the same `nbins`"
             )
-    return partials.groupBy(*group_cols, "lo", "hi", "bin").agg(
+    return partials.groupBy(*group_cols, *frame_cols, "bin").agg(
         F.sum("cnt").alias("cnt")
     )
 
@@ -147,14 +159,21 @@ def hist_quantiles(
     convention); the estimate interpolates the target's position within the
     located bin's value range. Every comparison is on exact longs; only the
     final position arithmetic is float, rounded to ``rounding``.
+
+    The bin width comes from the ``nbins`` recorded in the partial when
+    present; the ``nbins`` parameter is only the fallback for partials
+    persisted before it was recorded.
     """
     _check_qs(qs)
     group_cols = list(group_cols or [])
+    # prefer the bin count recorded in the partial at build time — trusting
+    # the caller's nbins against a persisted sketch built with a different
+    # --bins would scale every estimate by the ratio with no error
+    frame_cols = ["lo", "hi"] + (["nbins"] if "nbins" in partials.columns else [])
     gwin = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("bin")
     cum = partials.select(
         *group_cols,
-        "lo",
-        "hi",
+        *frame_cols,
         "bin",
         "cnt",
         F.sum("cnt").over(gwin).alias("cum"),
@@ -174,15 +193,15 @@ def hist_quantiles(
         .select(
             *group_cols,
             "q",
-            "lo",
-            "hi",
+            *frame_cols,
             "bin",
             "cnt",
             "cum",
             tgt.alias("tgt"),
         )
     )
-    width = (F.col("hi") - F.col("lo")) / F.lit(nbins)
+    nbins_col = F.col("nbins") if "nbins" in frame_cols else F.lit(nbins)
+    width = (F.col("hi") - F.col("lo")) / nbins_col
     frac = (F.col("tgt") - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
         "cnt"
     ).cast("double")

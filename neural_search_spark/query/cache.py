@@ -99,8 +99,11 @@ class TtlLruCache:
         self._entries.clear()
         return n
 
-    def __len__(self) -> int:
-        return len(self._entries)
+    def live_entries(self) -> int:
+        # len() includes TTL-lapsed entries awaiting lazy pruning; a health
+        # gauge wants only the ones a lookup would still hit
+        now = self.clock()
+        return sum(1 for expires_at, _ in self._entries.values() if now < expires_at)
 
     # -- key builders (reference cache.py:152-183) ---------------------------
 

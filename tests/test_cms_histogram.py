@@ -295,3 +295,60 @@ def test_cli_sketch_quantiles_bounds_merge(spark, tmp_path):
     err = run("--input", s0, "--value-col", "doc_id",
               "--bounds", "nope", expect=2)
     assert "--bounds" in err["error"]
+
+
+def test_cli_sketch_quantiles_bins_recorded_in_partials(spark, tmp_path):
+    """The partial records its nbins: merging under a DIFFERENT --bins must
+    use the recorded value (not silently scale every estimate by the bin
+    ratio), and partials built with different bin counts refuse to merge.
+    Inverted/NaN --bounds and out-of-range --quantiles are JSON request
+    errors, not tracebacks."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*a, expect=0):
+        p = subprocess.run(
+            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
+             "quantiles", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    run("--input", s0, "--value-col", "doc_id", "--output", p0,
+        "--bounds", "0,1000", "--bins", "128")
+    run("--input", s1, "--value-col", "doc_id", "--output", p1,
+        "--bounds", "0,1000", "--bins", "128")
+    # merge under the DEFAULT --bins 256: estimates must come out as if
+    # finished at the build-time 128 (the recorded value wins)
+    merged = run("--merge-inputs", f"{p0},{p1}")
+    whole128 = run("--input", "/root/testdata/sf0.001/documents.parquet",
+                   "--value-col", "doc_id", "--bounds", "0,1000",
+                   "--bins", "128")
+    assert merged["est"] == whole128["est"]
+    # same frame, different bin count: contract violation, JSON error
+    p256 = str(tmp_path / "p256")
+    run("--input", s1, "--value-col", "doc_id", "--output", p256,
+        "--bounds", "0,1000", "--bins", "256")
+    err = run("--merge-inputs", f"{p0},{p256}", expect=2)
+    assert "bin" in err["error"]
+    # inverted and NaN bounds: silently-wrong-bins territory, rejected
+    err = run("--input", s0, "--value-col", "doc_id",
+              "--bounds", "1000,0", expect=2)
+    assert "lo < hi" in err["error"]
+    err = run("--input", s0, "--value-col", "doc_id",
+              "--bounds", "nan,5", expect=2)
+    assert "lo < hi" in err["error"]
+    # out-of-range --quantiles: JSON error on both build and merge paths
+    err = run("--input", s0, "--value-col", "doc_id",
+              "--quantiles", "0", expect=2)
+    assert "(0, 1]" in err["error"]
+    err = run("--merge-inputs", f"{p0},{p1}", "--quantiles", "0.5,,0.9",
+              expect=2)
+    assert "error" in err

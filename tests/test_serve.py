@@ -592,6 +592,40 @@ def test_cli_serve_health_and_stats(served):
     assert stats["uptime_s"] >= 0
 
 
+def test_cli_serve_health_exempt_from_rate_limit(served):
+    """Probes answer BEFORE the rate limiter and do not consume slots: a
+    replica under query load must still report healthy (the reference's
+    GET /health never rate-limits), or the orchestrator drains it exactly
+    when it is busiest."""
+    import json
+    import subprocess
+    import sys
+
+    _, base_reader = served
+    lines = [
+        json.dumps({"query": "w0005 w0010", "top_k": 2}),  # burns the 1 slot
+        json.dumps({"health": True}),
+        json.dumps({"stats": True}),
+        json.dumps({"query": "w0005 w0010", "top_k": 2}),  # over the limit
+        json.dumps({"health": True}),
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "serve",
+         "--index", base_reader.root,
+         "--rate-limit", "1", "--rate-window", "3600"],
+        input="\n".join(lines) + "\n",
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    assert len(out) == 5
+    assert "hits" in out[0]
+    assert out[1]["status"] == "healthy"
+    assert out[2]["requests"]["requests"] >= 3
+    assert out[3]["error"] == "rate limited"  # queries ARE limited
+    assert out[4]["status"] == "healthy"  # ... health still is not
+
+
 def test_multireader_scatter_gather_equals_merged_index(spark, tmp_path_factory):
     """MultiReader over partial indexes == IndexReader over the physical
     merge: same doc ids (merged id space), same scores (1e-9) — the global
