@@ -26,12 +26,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return driver_entry.q_bm25_topk_all(spark, "/root/testdata/sf0.001")
 
 
-# Driver-gate rotation, round 4: the two entries fixed this round (red in r03)
-# come first so their fixes get a driver row, then the 50 entries whose latest
-# green row is r02 (they have not been driver-checked since codec / streaming /
-# serve code they depend on changed), then the r03-green set. One 50-entry gate
-# run re-validates everything stale.
+# Driver-gate rotation, round 5 (final): every entry whose latest green driver
+# row predates round 4 gets a fresh stamp. Order: the 3 entries not driver-run
+# since r02 (their indexed siblings are r03-green, but the driver itself must
+# re-stamp them), then the r03-dated entries whose dependencies changed in r4
+# (histogram.py nbins-in-partial, cms.py cms_topk, sketches.py alpha cast),
+# then the remaining r03 set. 3 + 7 + 40 = the 50-entry gate exactly; position
+# 51 (the one sacrificial slot under the cap) is emb_cosine_pairs, whose cosine
+# expression is a strict subcomponent of ann_topk_brute at position 41. The 50
+# r04-green entries follow.
 _PRIORITY = [
+    # --- r02-stale (driver-unstamped for two rounds) ---
+    "phrase_topk",
+    "proximity_topk",
+    "bm25_topk_stem",
+    # --- r03-dated, dependencies changed in round 4 ---
+    "sketch_quantiles",
+    "events_windowed_quantiles",
+    "sketch_heavy_hitters",
+    "events_heavy_hitters",
+    "facet_cardinality",
+    "events_distinct_hll",
+    "events_daily",
+    # --- remaining r03-dated set ---
+    "fuzzy_topk",
+    "split_train_eval",
+    "bm25_topk_stem_wand",
+    "phrase_topk_indexed",
+    "proximity_topk_indexed",
+    "ordered_near_topk",
+    "ordered_near_topk_indexed",
+    "dedup_spans",
+    "decontaminate",
+    "ann_topk_sq8",
+    "emb_near_dup_lsh",
+    "select_token_budget",
+    "text_perplexity",
+    "text_dedup_lines",
+    "text_strip_boilerplate",
+    "text_scrub_pii",
+    "pipeline_clean",
+    "url_host_stats",
+    "url_cap_per_domain",
+    "url_sample_domains",
+    "text_collocations",
+    "pack_sequences",
+    "pack_export",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "text_token_profile",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprints",
+    "text_repetition",
+    "media_stats",
+    "media_decode",
+    "events_windowed",
+    "events_sessions",
+    # --- sacrificial slot 51 (cut by the 50-entry gate cap): covered by
+    # --- ann_topk_brute above, which shares the cosine kernel ---
+    "emb_cosine_pairs",
+    # --- r04-green (freshest; after the gate cap) ---
     "sketch_cardinality",
     "pack_chunks",
     "sketch_cardinality_large",
@@ -82,61 +143,6 @@ _PRIORITY = [
     "bm25_topk_syn",
     "bm25_explain",
     "bm25f_topk",
-    # last THREE stale slots (3 head entries + 50 stale = 53, so a 50-entry
-    # gate cap cuts exactly here): strongest indirect r03 coverage —
-    # proximity_topk_indexed / stem_wand / phrase_topk_indexed exercise the
-    # same machinery — so they lose least if the cap cuts them
-    "proximity_topk",
-    "bm25_topk_stem",
-    "phrase_topk",
-    "fuzzy_topk",
-    "facet_cardinality",
-    "split_train_eval",
-    "sketch_heavy_hitters",
-    "sketch_quantiles",
-    "events_heavy_hitters",
-    "events_windowed_quantiles",
-    "bm25_topk_stem_wand",
-    "phrase_topk_indexed",
-    "proximity_topk_indexed",
-    "ordered_near_topk",
-    "ordered_near_topk_indexed",
-    "dedup_spans",
-    "decontaminate",
-    "ann_topk_sq8",
-    "emb_near_dup_lsh",
-    "select_token_budget",
-    "text_perplexity",
-    "text_dedup_lines",
-    "text_strip_boilerplate",
-    "text_scrub_pii",
-    "pipeline_clean",
-    "url_host_stats",
-    "url_cap_per_domain",
-    "url_sample_domains",
-    "events_distinct_hll",
-    "text_collocations",
-    "pack_sequences",
-    "pack_export",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_simhash",
-    "ann_topk_brute",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "emb_cosine_pairs",
-    "text_token_profile",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprints",
-    "text_repetition",
-    "media_stats",
-    "media_decode",
-    "events_windowed",
-    "events_sessions",
-    "events_daily",
 ]
 
 

@@ -147,6 +147,13 @@ def cmd_sketch(args) -> int:
             {"error": "need --input and --value-col, or --merge-inputs"}
         ))
         return 2
+    # validate up front, next to the other argument checks: hist_partial
+    # raises the same constraint as a ValueError, which would surface as a
+    # traceback instead of the JSON-error line every sibling check emits
+    # (--bins is also the legacy-partial fallback on the merge path)
+    if args.kind == "quantiles" and args.bins < 2:
+        print(json.dumps({"error": f"--bins needs at least 2 bins, got {args.bins}"}))
+        return 2
 
     from functools import reduce
 
@@ -160,8 +167,32 @@ def cmd_sketch(args) -> int:
         # bins written by earlier `sketch ... --output` runs) and finish —
         # the raw data is never rescanned, which is the whole point of the
         # sketch tier at 10^12 rows
+        from pyspark.errors import AnalysisException
+
         parts = [spark.read.parquet(p) for p in args.merge_inputs.split(",")]
-        unioned = reduce(lambda a, b: a.unionByName(b), parts)
+        try:
+            if args.kind == "quantiles":
+                # allowMissingColumns: quantile partials persisted before
+                # nbins was recorded in the frame union with new ones; the
+                # old rows' null nbins is filled with --bins (the caller's
+                # statement of the build-time bin count), so hist_merge's
+                # frame check still rejects a REAL bin-count mix while
+                # all-old and mixed old/new unions keep working
+                unioned = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+                )
+                if "nbins" in unioned.columns:
+                    unioned = unioned.withColumn(
+                        "nbins", F.coalesce(F.col("nbins"), F.lit(args.bins))
+                    )
+            else:
+                unioned = reduce(lambda a, b: a.unionByName(b), parts)
+        except AnalysisException as exc:
+            # keep the JSON-error contract even for un-unionable inputs
+            print(json.dumps(
+                {"error": f"--merge-inputs partials do not union: {exc}"}
+            ))
+            return 2
         if args.kind == "hll":
             merged = hll_merge(unioned)
             [row] = hll_estimate(merged, p=args.p).collect()
@@ -186,8 +217,9 @@ def cmd_sketch(args) -> int:
             try:
                 qs = [float(x) for x in args.quantiles.split(",")]
                 # nbins comes from the partials themselves (recorded at build
-                # time); --bins is ignored here, so merging 128-bin partials
-                # under the default --bins 256 cannot mis-scale the estimates
+                # time), so merging 128-bin partials under the default
+                # --bins 256 cannot mis-scale the estimates; --bins only
+                # stands in for pre-nbins legacy partials (coalesced above)
                 rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
             except ValueError as exc:
                 print(json.dumps({"error": str(exc)}))

@@ -31,13 +31,18 @@ def assign_doc_ids(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``doc_id`` = dense rank of ``order_col`` (0-based, no gaps)."""
-    if "doc_id" in corpus.columns:
+    # case-insensitive: Spark resolves column references case-insensitively
+    # by default (spark.sql.caseSensitive=false), so a DOC_ID column collides
+    # with the appended doc_id just as surely as an exact-case one
+    clash = [c for c in corpus.columns if c.lower() == "doc_id"]
+    if clash:
         # appending a second doc_id column would only surface much later as
         # an AMBIGUOUS_REFERENCE inside whatever consumes the frame — fail
         # here, at the call that caused it
         raise ValueError(
-            "corpus already has a doc_id column; pass id_col='doc_id' to "
-            "build_index (or drop/rename the column) instead of re-assigning"
+            f"corpus already has a doc_id column ({clash[0]!r}); pass "
+            "id_col='doc_id' to build_index (or drop/rename the column) "
+            "instead of re-assigning"
         )
     spark = corpus.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

@@ -118,7 +118,22 @@ def hist_merge(
     group_cols = list(group_cols or [])
     # nbins is part of the frame when present (partials written before it was
     # recorded merge on [lo, hi] alone, the old behavior)
-    frame_cols = ["lo", "hi"] + (["nbins"] if "nbins" in partials.columns else [])
+    legacy = "nbins" not in partials.columns
+    frame_cols = ["lo", "hi"] + ([] if legacy else ["nbins"])
+    if legacy:
+        # legacy partials are accepted for backward compatibility, but the
+        # frame check can no longer see a bin-count mix — say so loudly
+        # rather than silently weakening the contract
+        import warnings
+
+        warnings.warn(
+            "hist_merge: partials carry no recorded nbins (written before it "
+            "was part of the frame); the mixed-frame check covers [lo, hi] "
+            "only, so the merge is correct only if every slice was built "
+            "with the same bin count — pass that build-time value to "
+            "hist_quantiles(nbins=...) when finishing",
+            stacklevel=2,
+        )
     if validate:
         mixed = (
             partials.groupBy(*group_cols)

@@ -352,3 +352,89 @@ def test_cli_sketch_quantiles_bins_recorded_in_partials(spark, tmp_path):
     err = run("--merge-inputs", f"{p0},{p1}", "--quantiles", "0.5,,0.9",
               expect=2)
     assert "error" in err
+
+
+def test_hist_merge_legacy_partials_warn_but_merge(spark, values):
+    """Partials persisted before nbins was recorded in the frame (no nbins
+    column) still merge — with a warning that the frame check is [lo, hi]
+    only — and finish correctly when the caller supplies the build-time
+    bin count. A legacy/new union with null nbins coalesced to the WRONG
+    bin count is a frame mix and refuses (the CLI coalesces null nbins to
+    --bins, so a bad --bins claim is caught, not silently mis-scaled)."""
+    bounds = (0.0, 100.0)
+    new = hist_partial(values, "x", nbins=64, bounds=bounds)
+    legacy = new.drop("nbins")  # what a pre-r4 partial looks like on disk
+
+    with pytest.warns(UserWarning, match="no recorded nbins"):
+        merged = hist_merge(legacy)
+    qs_legacy = hist_quantiles(merged, [0.5, 0.9], nbins=64).collect()
+    qs_new = hist_quantiles(hist_merge(new), [0.5, 0.9]).collect()
+    assert {(r["q"], r["est"]) for r in qs_legacy} == {
+        (r["q"], r["est"]) for r in qs_new
+    }
+
+    # mixed legacy/new union (the CLI's allowMissingColumns shape): null
+    # nbins filled with the matching build-time value merges clean...
+    mixed_ok = legacy.withColumn("nbins", F.lit(64)).unionByName(new)
+    qs_mixed = hist_quantiles(hist_merge(mixed_ok), [0.5, 0.9]).collect()
+    doubled = {(r["q"], r["est"]) for r in qs_mixed}
+    assert doubled == {(r["q"], r["est"]) for r in qs_new}
+    # ...and filled with a WRONG claim it is a detected frame mix
+    mixed_bad = legacy.withColumn("nbins", F.lit(128)).unionByName(new)
+    with pytest.raises(ValueError, match="bin counts"):
+        hist_merge(mixed_bad)
+
+
+def test_cli_sketch_quantiles_legacy_partial_merge(spark, tmp_path):
+    """--merge-inputs accepts a mix of legacy (nbins-less) and new partials:
+    unionByName(allowMissingColumns) + null-nbins -> --bins, so an all-old or
+    old/new union finishes (correctly when --bins states the build-time bin
+    count) and a contradicted --bins claim is a JSON frame error, never an
+    AnalysisException traceback. --bins < 2 is a JSON request error."""
+    import json
+    import subprocess
+    import sys
+
+    def run(*a, expect=0):
+        p = subprocess.run(
+            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
+             "quantiles", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
+        assert "Traceback" not in p.stderr, p.stderr[-1500:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    run("--input", s0, "--value-col", "doc_id", "--output", p0,
+        "--bounds", "0,1000", "--bins", "128")
+    run("--input", s1, "--value-col", "doc_id", "--output", p1,
+        "--bounds", "0,1000", "--bins", "128")
+    # rewrite p0 as a LEGACY partial: drop the recorded nbins column
+    p0_legacy = str(tmp_path / "p0_legacy")
+    spark.read.parquet(p0).drop("nbins").write.parquet(p0_legacy)
+
+    whole128 = run("--input", "/root/testdata/sf0.001/documents.parquet",
+                   "--value-col", "doc_id", "--bounds", "0,1000",
+                   "--bins", "128")
+    # legacy + new under the true build-time --bins: merges and matches
+    merged = run("--merge-inputs", f"{p0_legacy},{p1}", "--bins", "128")
+    assert merged["est"] == whole128["est"]
+    # legacy + new under the DEFAULT --bins 256: the filled claim contradicts
+    # the recorded 128 -> frame-mix JSON error (not silent 2x mis-scale)
+    err = run("--merge-inputs", f"{p0_legacy},{p1}", expect=2)
+    assert "bin" in err["error"]
+    # all-legacy union still works on [lo, hi] alone (old behavior)
+    p1_legacy = str(tmp_path / "p1_legacy")
+    spark.read.parquet(p1).drop("nbins").write.parquet(p1_legacy)
+    merged = run("--merge-inputs", f"{p0_legacy},{p1_legacy}",
+                 "--bins", "128")
+    assert merged["est"] == whole128["est"]
+    # --bins < 2 is a request error on the build path, JSON not traceback
+    err = run("--input", s0, "--value-col", "doc_id", "--bins", "1",
+              expect=2)
+    assert "--bins" in err["error"]

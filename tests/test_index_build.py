@@ -518,3 +518,18 @@ def test_asciifold_analyzer_physical_index_end_to_end(spark, tmp_path_factory):
 
     # composed chain folds then stems
     assert analyze_tokens(["cafés", "tables"], "asciifold_stem") == ["cafe", "table"]
+
+
+def test_assign_doc_ids_rejects_existing_doc_id_any_case(corpus_small):
+    """The doc_id-clash guard is case-insensitive, matching Spark's default
+    case-insensitive column resolution: a DOC_ID column would hit the same
+    late AMBIGUOUS_REFERENCE an exact-case doc_id does."""
+    from neural_search_spark.index.docmap import assign_doc_ids
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="already has a doc_id"):
+        assign_doc_ids(corpus_small.withColumn("doc_id", F.lit(1)))
+    with _pytest.raises(ValueError, match="'DOC_ID'"):
+        assign_doc_ids(corpus_small.withColumn("DOC_ID", F.lit(1)))
