@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (histogram.py nbins-in-partial, cms.py cms_topk, sketches.py alpha cast),
 # then the remaining r03 set. 3 + 7 + 40 = the 50-entry gate exactly; position
 # 51 (the one sacrificial slot under the cap) is emb_cosine_pairs, whose cosine
-# expression is a strict subcomponent of ann_topk_brute at position 41. The 50
+# expression is a strict subcomponent of ann_topk_brute at position 39. The 50
 # r04-green entries follow.
 _PRIORITY = [
     # --- r02-stale (driver-unstamped for two rounds) ---

@@ -109,7 +109,10 @@ def cmd_pack(args) -> int:
 
     spark = _spark("nss-pack")
     corpus = spark.read.parquet(args.input)
-    if "doc_id" not in corpus.columns:
+    # case-insensitive like Spark's default column resolution (and like
+    # assign_doc_ids' own clash guard): a DOC_ID corpus must use its existing
+    # column, not reach assign_doc_ids and die on the clash it now rejects
+    if not any(c.lower() == "doc_id" for c in corpus.columns):
         corpus = assign_doc_ids(corpus, order_col="url")
     lens = doc_lengths(corpus).withColumnRenamed("doc_len", "n_tokens")
     packed = pack_sequences(lens, args.budget)
@@ -150,10 +153,15 @@ def cmd_sketch(args) -> int:
     # validate up front, next to the other argument checks: hist_partial
     # raises the same constraint as a ValueError, which would surface as a
     # traceback instead of the JSON-error line every sibling check emits
-    # (--bins is also the legacy-partial fallback on the merge path)
-    if args.kind == "quantiles" and args.bins < 2:
+    # (--bins is also the legacy-partial claim on the merge path)
+    if args.kind == "quantiles" and args.bins is not None and args.bins < 2:
         print(json.dumps({"error": f"--bins needs at least 2 bins, got {args.bins}"}))
         return 2
+    # None = "not stated": the build path and all-legacy merges fall back to
+    # the historical default, while a mixed legacy/new merge REQUIRES an
+    # explicit claim (a silently-trusted default could launder a wrong bin
+    # count into the merged sketch)
+    bins = args.bins if args.bins is not None else 256
 
     from functools import reduce
 
@@ -169,28 +177,48 @@ def cmd_sketch(args) -> int:
         # sketch tier at 10^12 rows
         from pyspark.errors import AnalysisException
 
-        parts = [spark.read.parquet(p) for p in args.merge_inputs.split(",")]
+        paths = [p.strip() for p in args.merge_inputs.split(",")]
+        if not all(paths):
+            print(json.dumps({"error": "--merge-inputs has an empty path"}))
+            return 2
         try:
+            # reads inside the try: a typo'd path is a request error line
+            # (exit 2) like every sibling validation, not a traceback
+            parts = [spark.read.parquet(p) for p in paths]
             if args.kind == "quantiles":
-                # allowMissingColumns: quantile partials persisted before
-                # nbins was recorded in the frame union with new ones; the
-                # old rows' null nbins is filled with --bins (the caller's
-                # statement of the build-time bin count), so hist_merge's
-                # frame check still rejects a REAL bin-count mix while
-                # all-old and mixed old/new unions keep working
-                unioned = reduce(
-                    lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-                )
-                if "nbins" in unioned.columns:
-                    unioned = unioned.withColumn(
-                        "nbins", F.coalesce(F.col("nbins"), F.lit(args.bins))
+                # legacy accommodation scoped to the nbins column ONLY:
+                # quantile partials persisted before nbins was recorded get
+                # the column injected with --bins (the caller's explicit
+                # statement of their build-time bin count), then the union
+                # stays STRICT — a partial missing a DATA column (cnt/lo/hi)
+                # still refuses to union exactly as before, and hist_merge's
+                # frame check still rejects a contradicted --bins claim
+                has_nbins = ["nbins" in p.columns for p in parts]
+                if any(has_nbins) and not all(has_nbins):
+                    if args.bins is None:
+                        print(json.dumps({
+                            "error": "--merge-inputs mixes legacy (no "
+                                     "recorded nbins) and new partials: pass "
+                                     "--bins to state the legacy build-time "
+                                     "bin count"
+                        }))
+                        return 2
+                    print(
+                        "note: trusting --bins "
+                        f"{args.bins} as the build-time bin count of the "
+                        "legacy (nbins-less) partials in --merge-inputs",
+                        file=sys.stderr,
                     )
-            else:
-                unioned = reduce(lambda a, b: a.unionByName(b), parts)
+                    parts = [
+                        p if ok else p.withColumn("nbins", F.lit(bins))
+                        for p, ok in zip(parts, has_nbins)
+                    ]
+            unioned = reduce(lambda a, b: a.unionByName(b), parts)
         except AnalysisException as exc:
             # keep the JSON-error contract even for un-unionable inputs
             print(json.dumps(
-                {"error": f"--merge-inputs partials do not union: {exc}"}
+                {"error": f"--merge-inputs unreadable or partials do not "
+                          f"union: {exc}"}
             ))
             return 2
         if args.kind == "hll":
@@ -217,10 +245,10 @@ def cmd_sketch(args) -> int:
             try:
                 qs = [float(x) for x in args.quantiles.split(",")]
                 # nbins comes from the partials themselves (recorded at build
-                # time), so merging 128-bin partials under the default
-                # --bins 256 cannot mis-scale the estimates; --bins only
-                # stands in for pre-nbins legacy partials (coalesced above)
-                rows = hist_quantiles(merged, qs, nbins=args.bins).collect()
+                # time), so merging 128-bin partials without --bins cannot
+                # mis-scale the estimates; the `bins` fallback only applies
+                # to ALL-legacy unions, where no recorded value exists
+                rows = hist_quantiles(merged, qs, nbins=bins).collect()
             except ValueError as exc:
                 print(json.dumps({"error": str(exc)}))
                 return 2
@@ -272,17 +300,17 @@ def cmd_sketch(args) -> int:
                 ))
                 return 2
             bounds = (lo, hi)
-        partial = hist_partial(df, args.value_col, nbins=args.bins, bounds=bounds)
+        partial = hist_partial(df, args.value_col, nbins=bins, bounds=bounds)
         if args.output:
             partial.write.mode("overwrite").parquet(args.output)
             partial = spark.read.parquet(args.output)
         try:
             qs = [float(x) for x in args.quantiles.split(",")]
-            rows = hist_quantiles(partial, qs, nbins=args.bins).collect()
+            rows = hist_quantiles(partial, qs, nbins=bins).collect()
         except ValueError as exc:
             print(json.dumps({"error": str(exc)}))
             return 2
-        print(json.dumps({"kind": "quantiles", "bins": args.bins,
+        print(json.dumps({"kind": "quantiles", "bins": bins,
                           "est": {str(r["q"]): r["est"] for r in rows}}))
     return 0
 
@@ -961,10 +989,14 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--depth", type=int, default=4)
     sk.add_argument("--width", type=int, default=2048)
     sk.add_argument("--top", type=int, default=10)
-    sk.add_argument("--bins", type=int, default=256,
-                    help="bin count when BUILDING quantile partials; "
-                         "--merge-inputs uses the nbins recorded in the "
-                         "partials and ignores this")
+    sk.add_argument("--bins", type=int, default=None,
+                    help="bin count when BUILDING quantile partials "
+                         "(default 256); on --merge-inputs the nbins "
+                         "RECORDED in the partials wins — --bins is only "
+                         "the stated build-time bin count of legacy "
+                         "(pre-nbins) partials: required when legacy and "
+                         "new partials are mixed, fallback 256 when all "
+                         "partials are legacy")
     sk.add_argument("--quantiles", default="0.5,0.9,0.99")
     sk.add_argument("--bounds", default=None,
                     help="'lo,hi': pin the histogram frame so per-slice "

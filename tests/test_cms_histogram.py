@@ -221,136 +221,142 @@ def test_cms_estimate_grouped_emits_zero_rows_for_absent_candidates(spark):
     }
 
 
-def test_cli_sketch_merge_equals_whole(spark, tmp_path):
-    """`cli sketch hll --merge-inputs p1,p2`: persisted slice partials merge
-    + finish to EXACTLY the whole-data estimate, raw data never rescanned —
-    the cross-slice story driven through the spark-submit surface."""
+def _run_sketch(*a, expect=0):
+    """Drive `cli sketch ...` through spark-submit-equivalent subprocess; one
+    helper for every CLI sketch test (each call is a fresh JVM, so shared
+    fixtures below amortize the expensive partial builds)."""
     import json
     import subprocess
     import sys
 
-    def run(*a):
-        p = subprocess.run(
-            [sys.executable, "-m", "neural_search_spark.cli", "sketch", *a],
-            capture_output=True, text=True, timeout=300, cwd="/root/repo",
-        )
-        assert p.returncode == 0, p.stderr[-1500:]
-        return json.loads(p.stdout.strip().splitlines()[-1])
+    p = subprocess.run(
+        [sys.executable, "-m", "neural_search_spark.cli", "sketch", *a],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
+    assert "Traceback" not in p.stderr, p.stderr[-1500:]
+    return json.loads(p.stdout.strip().splitlines()[-1])
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+
+_WHOLE_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def slice_dirs(spark, tmp_path_factory):
+    """documents split into two persisted doc_id-parity slices — the input
+    shape of every cross-slice sketch-merge test."""
+    base = tmp_path_factory.mktemp("sketch_slices")
+    docs = spark.read.parquet(_WHOLE_DOCS)
+    s0, s1 = str(base / "s0"), str(base / "s1")
     docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
     docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    return s0, s1
+
+
+@pytest.fixture(scope="module")
+def partials128(slice_dirs, tmp_path_factory):
+    """Per-slice 128-bin quantile partials over the pinned [0,1000] frame,
+    plus the whole-data estimate finished at the same build-time bin count —
+    shared by the recorded-nbins and legacy-merge tests."""
+    base = tmp_path_factory.mktemp("sketch_partials128")
+    s0, s1 = slice_dirs
+    p0, p1 = str(base / "p0"), str(base / "p1")
+    _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                "--output", p0, "--bounds", "0,1000", "--bins", "128")
+    _run_sketch("quantiles", "--input", s1, "--value-col", "doc_id",
+                "--output", p1, "--bounds", "0,1000", "--bins", "128")
+    whole128 = _run_sketch("quantiles", "--input", _WHOLE_DOCS,
+                           "--value-col", "doc_id", "--bounds", "0,1000",
+                           "--bins", "128")
+    return p0, p1, whole128
+
+
+def test_cli_sketch_merge_equals_whole(spark, tmp_path, slice_dirs):
+    """`cli sketch hll --merge-inputs p1,p2`: persisted slice partials merge
+    + finish to EXACTLY the whole-data estimate, raw data never rescanned —
+    the cross-slice story driven through the spark-submit surface."""
+    s0, s1 = slice_dirs
     p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
-    run("hll", "--input", s0, "--value-col", "text", "--output", p0)
-    run("hll", "--input", s1, "--value-col", "text", "--output", p1)
-    merged = run("hll", "--merge-inputs", f"{p0},{p1}")
-    whole = run("hll", "--input",
-                "/root/testdata/sf0.001/documents.parquet",
-                "--value-col", "text")
+    _run_sketch("hll", "--input", s0, "--value-col", "text", "--output", p0)
+    _run_sketch("hll", "--input", s1, "--value-col", "text", "--output", p1)
+    merged = _run_sketch("hll", "--merge-inputs", f"{p0},{p1}")
+    whole = _run_sketch("hll", "--input", _WHOLE_DOCS, "--value-col", "text")
     assert merged["est_distinct"] == whole["est_distinct"]
     assert merged["merged"] == 2
 
 
-def test_cli_sketch_quantiles_bounds_merge(spark, tmp_path):
+def test_cli_sketch_quantiles_bounds_merge(spark, tmp_path, slice_dirs):
     """`cli sketch quantiles --bounds lo,hi` pins the histogram frame so
     per-slice partials actually merge (derived frames differ per slice and
     refuse); merged+finished == whole-data estimate under the same frame.
     Without --bounds the merge reports the mixed-frame contract violation as
     a JSON error line, not a traceback."""
-    import json
-    import subprocess
-    import sys
-
-    def run(*a, expect=0):
-        p = subprocess.run(
-            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
-             "quantiles", *a],
-            capture_output=True, text=True, timeout=300, cwd="/root/repo",
-        )
-        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
-        return json.loads(p.stdout.strip().splitlines()[-1])
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
-    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
-    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
+    s0, s1 = slice_dirs
     p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
     bounds = "0,1000"
-    run("--input", s0, "--value-col", "doc_id", "--output", p0,
-        "--bounds", bounds)
-    run("--input", s1, "--value-col", "doc_id", "--output", p1,
-        "--bounds", bounds)
-    merged = run("--merge-inputs", f"{p0},{p1}")
-    whole = run("--input", "/root/testdata/sf0.001/documents.parquet",
-                "--value-col", "doc_id", "--bounds", bounds)
+    _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                "--output", p0, "--bounds", bounds)
+    _run_sketch("quantiles", "--input", s1, "--value-col", "doc_id",
+                "--output", p1, "--bounds", bounds)
+    merged = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}")
+    whole = _run_sketch("quantiles", "--input", _WHOLE_DOCS,
+                        "--value-col", "doc_id", "--bounds", bounds)
     assert merged["est"] == whole["est"]
     assert merged["merged"] == 2
     # derived-frame partial mixed with a pinned one: JSON error, exit 2
     pbad = str(tmp_path / "pbad")
-    run("--input", s0, "--value-col", "doc_id", "--output", pbad)
-    err = run("--merge-inputs", f"{p0},{pbad}", expect=2)
+    _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                "--output", pbad)
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0},{pbad}",
+                      expect=2)
     assert "frames" in err["error"]
     # malformed --bounds is a request error, not a traceback
-    err = run("--input", s0, "--value-col", "doc_id",
-              "--bounds", "nope", expect=2)
+    err = _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                      "--bounds", "nope", expect=2)
     assert "--bounds" in err["error"]
+    # a typo'd / unreadable --merge-inputs path: request error, not traceback
+    err = _run_sketch("quantiles", "--merge-inputs",
+                      f"{p0},{tmp_path / 'no_such_partial'}", expect=2)
+    assert "error" in err
+    # an empty path (trailing comma): request error, not traceback
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0},", expect=2)
+    assert "empty path" in err["error"]
 
 
-def test_cli_sketch_quantiles_bins_recorded_in_partials(spark, tmp_path):
-    """The partial records its nbins: merging under a DIFFERENT --bins must
-    use the recorded value (not silently scale every estimate by the bin
-    ratio), and partials built with different bin counts refuse to merge.
-    Inverted/NaN --bounds and out-of-range --quantiles are JSON request
-    errors, not tracebacks."""
-    import json
-    import subprocess
-    import sys
-
-    def run(*a, expect=0):
-        p = subprocess.run(
-            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
-             "quantiles", *a],
-            capture_output=True, text=True, timeout=300, cwd="/root/repo",
-        )
-        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
-        return json.loads(p.stdout.strip().splitlines()[-1])
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
-    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
-    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
-    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
-    run("--input", s0, "--value-col", "doc_id", "--output", p0,
-        "--bounds", "0,1000", "--bins", "128")
-    run("--input", s1, "--value-col", "doc_id", "--output", p1,
-        "--bounds", "0,1000", "--bins", "128")
-    # merge under the DEFAULT --bins 256: estimates must come out as if
-    # finished at the build-time 128 (the recorded value wins)
-    merged = run("--merge-inputs", f"{p0},{p1}")
-    whole128 = run("--input", "/root/testdata/sf0.001/documents.parquet",
-                   "--value-col", "doc_id", "--bounds", "0,1000",
-                   "--bins", "128")
+def test_cli_sketch_quantiles_bins_recorded_in_partials(
+    spark, tmp_path, slice_dirs, partials128
+):
+    """The partial records its nbins: merging without --bins must use the
+    recorded value (not silently scale every estimate by the bin ratio), and
+    partials built with different bin counts refuse to merge. Inverted/NaN
+    --bounds and out-of-range --quantiles are JSON request errors, not
+    tracebacks."""
+    s0, s1 = slice_dirs
+    p0, p1, whole128 = partials128
+    # merge with NO --bins: estimates must come out as if finished at the
+    # build-time 128 (the recorded value wins; no claim needed for all-new)
+    merged = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}")
     assert merged["est"] == whole128["est"]
     # same frame, different bin count: contract violation, JSON error
     p256 = str(tmp_path / "p256")
-    run("--input", s1, "--value-col", "doc_id", "--output", p256,
-        "--bounds", "0,1000", "--bins", "256")
-    err = run("--merge-inputs", f"{p0},{p256}", expect=2)
+    _run_sketch("quantiles", "--input", s1, "--value-col", "doc_id",
+                "--output", p256, "--bounds", "0,1000", "--bins", "256")
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p256}",
+                      expect=2)
     assert "bin" in err["error"]
     # inverted and NaN bounds: silently-wrong-bins territory, rejected
-    err = run("--input", s0, "--value-col", "doc_id",
-              "--bounds", "1000,0", expect=2)
+    err = _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                      "--bounds", "1000,0", expect=2)
     assert "lo < hi" in err["error"]
-    err = run("--input", s0, "--value-col", "doc_id",
-              "--bounds", "nan,5", expect=2)
+    err = _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                      "--bounds", "nan,5", expect=2)
     assert "lo < hi" in err["error"]
     # out-of-range --quantiles: JSON error on both build and merge paths
-    err = run("--input", s0, "--value-col", "doc_id",
-              "--quantiles", "0", expect=2)
+    err = _run_sketch("quantiles", "--input", s0, "--value-col", "doc_id",
+                      "--quantiles", "0", expect=2)
     assert "(0, 1]" in err["error"]
-    err = run("--merge-inputs", f"{p0},{p1}", "--quantiles", "0.5,,0.9",
-              expect=2)
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}",
+                      "--quantiles", "0.5,,0.9", expect=2)
     assert "error" in err
 
 
@@ -358,9 +364,10 @@ def test_hist_merge_legacy_partials_warn_but_merge(spark, values):
     """Partials persisted before nbins was recorded in the frame (no nbins
     column) still merge — with a warning that the frame check is [lo, hi]
     only — and finish correctly when the caller supplies the build-time
-    bin count. A legacy/new union with null nbins coalesced to the WRONG
-    bin count is a frame mix and refuses (the CLI coalesces null nbins to
-    --bins, so a bad --bins claim is caught, not silently mis-scaled)."""
+    bin count. A legacy/new union with nbins filled with the WRONG bin count
+    is a frame mix and refuses (the CLI injects an EXPLICIT --bins claim
+    into legacy frames, so a contradicted claim is caught, not silently
+    mis-scaled)."""
     bounds = (0.0, 100.0)
     new = hist_partial(values, "x", nbins=64, bounds=bounds)
     legacy = new.drop("nbins")  # what a pre-r4 partial looks like on disk
@@ -373,7 +380,7 @@ def test_hist_merge_legacy_partials_warn_but_merge(spark, values):
         (r["q"], r["est"]) for r in qs_new
     }
 
-    # mixed legacy/new union (the CLI's allowMissingColumns shape): null
+    # mixed legacy/new union (the CLI's injected-claim shape): legacy
     # nbins filled with the matching build-time value merges clean...
     mixed_ok = legacy.withColumn("nbins", F.lit(64)).unionByName(new)
     qs_mixed = hist_quantiles(hist_merge(mixed_ok), [0.5, 0.9]).collect()
@@ -385,56 +392,49 @@ def test_hist_merge_legacy_partials_warn_but_merge(spark, values):
         hist_merge(mixed_bad)
 
 
-def test_cli_sketch_quantiles_legacy_partial_merge(spark, tmp_path):
-    """--merge-inputs accepts a mix of legacy (nbins-less) and new partials:
-    unionByName(allowMissingColumns) + null-nbins -> --bins, so an all-old or
-    old/new union finishes (correctly when --bins states the build-time bin
-    count) and a contradicted --bins claim is a JSON frame error, never an
-    AnalysisException traceback. --bins < 2 is a JSON request error."""
-    import json
-    import subprocess
-    import sys
-
-    def run(*a, expect=0):
-        p = subprocess.run(
-            [sys.executable, "-m", "neural_search_spark.cli", "sketch",
-             "quantiles", *a],
-            capture_output=True, text=True, timeout=300, cwd="/root/repo",
-        )
-        assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
-        assert "Traceback" not in p.stderr, p.stderr[-1500:]
-        return json.loads(p.stdout.strip().splitlines()[-1])
-
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
-    docs.where(F.col("doc_id") % 2 == 0).write.parquet(s0)
-    docs.where(F.col("doc_id") % 2 == 1).write.parquet(s1)
-    p0, p1 = str(tmp_path / "p0"), str(tmp_path / "p1")
-    run("--input", s0, "--value-col", "doc_id", "--output", p0,
-        "--bounds", "0,1000", "--bins", "128")
-    run("--input", s1, "--value-col", "doc_id", "--output", p1,
-        "--bounds", "0,1000", "--bins", "128")
+def test_cli_sketch_quantiles_legacy_partial_merge(
+    spark, tmp_path, partials128
+):
+    """--merge-inputs accepts a mix of legacy (nbins-less) and new partials
+    ONLY under an explicit --bins claim of the legacy build-time bin count:
+    a true claim merges and matches the whole-data estimate, a contradicted
+    claim is a JSON frame error, and a mixed merge with NO --bins is a JSON
+    request error (a silently-trusted default could launder a wrong bin
+    count). The accommodation is scoped to nbins — a partial missing a DATA
+    column still refuses to union. --bins < 2 is a JSON request error."""
+    p0, p1, whole128 = partials128
     # rewrite p0 as a LEGACY partial: drop the recorded nbins column
     p0_legacy = str(tmp_path / "p0_legacy")
     spark.read.parquet(p0).drop("nbins").write.parquet(p0_legacy)
 
-    whole128 = run("--input", "/root/testdata/sf0.001/documents.parquet",
-                   "--value-col", "doc_id", "--bounds", "0,1000",
-                   "--bins", "128")
     # legacy + new under the true build-time --bins: merges and matches
-    merged = run("--merge-inputs", f"{p0_legacy},{p1}", "--bins", "128")
+    merged = _run_sketch("quantiles", "--merge-inputs", f"{p0_legacy},{p1}",
+                         "--bins", "128")
     assert merged["est"] == whole128["est"]
-    # legacy + new under the DEFAULT --bins 256: the filled claim contradicts
-    # the recorded 128 -> frame-mix JSON error (not silent 2x mis-scale)
-    err = run("--merge-inputs", f"{p0_legacy},{p1}", expect=2)
+    # legacy + new with a claim contradicting the recorded 128: frame-mix
+    # JSON error (not a silent 2x mis-scale)
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0_legacy},{p1}",
+                      "--bins", "256", expect=2)
     assert "bin" in err["error"]
+    # legacy + new with NO --bins: the claim is required, never defaulted
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0_legacy},{p1}",
+                      expect=2)
+    assert "pass --bins" in err["error"]
     # all-legacy union still works on [lo, hi] alone (old behavior)
     p1_legacy = str(tmp_path / "p1_legacy")
     spark.read.parquet(p1).drop("nbins").write.parquet(p1_legacy)
-    merged = run("--merge-inputs", f"{p0_legacy},{p1_legacy}",
-                 "--bins", "128")
+    merged = _run_sketch("quantiles", "--merge-inputs",
+                         f"{p0_legacy},{p1_legacy}", "--bins", "128")
     assert merged["est"] == whole128["est"]
+    # a partial missing a DATA column is NOT accommodated: strict union
+    # refuses with a JSON error (allowMissingColumns would null-fill cnt and
+    # silently drop the slice from the merged sketch)
+    p_nocnt = str(tmp_path / "p_nocnt")
+    spark.read.parquet(p1).drop("cnt").write.parquet(p_nocnt)
+    err = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p_nocnt}",
+                      expect=2)
+    assert "union" in err["error"]
     # --bins < 2 is a request error on the build path, JSON not traceback
-    err = run("--input", s0, "--value-col", "doc_id", "--bins", "1",
-              expect=2)
+    err = _run_sketch("quantiles", "--input", p0, "--value-col", "doc_id",
+                      "--bins", "1", expect=2)
     assert "--bins" in err["error"]
