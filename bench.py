@@ -353,6 +353,15 @@ def main() -> None:
         "jvm_probe_end_s": jvm_probe_end["jvm"],
         "pipe_probe_start_s": jvm_probe_start["pipe"],
         "pipe_probe_end_s": jvm_probe_end["pipe"],
+        # one-glance phase adjudication: True only when BOTH probes sat at
+        # their documented floors (jvm <= 0.6 s, pipe <= 0.45 s) at both ends
+        # of the suite — the precondition BASELINE.md's drift protocol sets
+        # for treating the headline as a clean measurement rather than an
+        # environment sample
+        "probes_at_floor": bool(
+            max(jvm_probe_start["jvm"], jvm_probe_end["jvm"]) <= 0.6
+            and max(jvm_probe_start["pipe"], jvm_probe_end["pipe"]) <= 0.45
+        ),
     }
 
     if scaling:
