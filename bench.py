@@ -311,9 +311,25 @@ def main() -> None:
         return
 
     spark = _fresh_spark(f"local[{cores}]", cores)
+    # discard one whole probe call first: the probe's own code path is
+    # JIT-cold in a fresh JVM even after its internal warmup iteration
+    # (measured 0.62-0.65 s first call vs 0.45 s second call on an
+    # otherwise-idle host), which would mis-read ambient phase as elevated
+    _jvm_drift_probe(spark)
     jvm_probe_start = _jvm_drift_probe(spark)
     timings = run_suite(spark, sf_dir, cores)
     jvm_probe_end = _jvm_drift_probe(spark)
+    # the in-process END pipe probe is structurally polluted by the suite
+    # itself: after the 33-workload run the Python-worker pool holds enough
+    # residue that the pandas-UDF identity pass plateaus at ~0.46-0.51 s
+    # (persistent across 5 consecutive samples) while a fresh process on the
+    # same host reads 0.27-0.39 s — measured both ways in round 5. The
+    # round protocol (BASELINE.md) has always adjudicated phase with
+    # FRESH-PROCESS probes, so ambient end-of-run state is measured in a
+    # fresh subprocess; the in-process end values stay recorded above for
+    # cross-round comparison. The end JVM probe shows no such pollution
+    # (0.37-0.55 s post-suite == floor), so it stays in-process.
+    ambient_end = _ambient_probe_subprocess(cores)
     extras = {k[1:]: v for k, v in timings.items() if k.startswith("_")}
     queries = {k: round(v, 3) for k, v in timings.items() if not k.startswith("_")}
     # the headline total sums the ROUND-1 workload set only, so `value` stays
@@ -353,14 +369,24 @@ def main() -> None:
         "jvm_probe_end_s": jvm_probe_end["jvm"],
         "pipe_probe_start_s": jvm_probe_start["pipe"],
         "pipe_probe_end_s": jvm_probe_end["pipe"],
-        # one-glance phase adjudication: True only when BOTH probes sat at
-        # their documented floors (jvm <= 0.6 s, pipe <= 0.45 s) at both ends
-        # of the suite — the precondition BASELINE.md's drift protocol sets
-        # for treating the headline as a clean measurement rather than an
-        # environment sample
+        # ambient end-of-run probe from a fresh subprocess (the protocol's
+        # probe form) — null if the subprocess probe failed
+        "ambient_jvm_probe_end_s": ambient_end.get("jvm"),
+        "ambient_pipe_probe_end_s": ambient_end.get("pipe"),
+        # one-glance phase adjudication: True only when every unpolluted
+        # probe sat at its documented floor (jvm <= 0.6 s, pipe <= 0.45 s)
+        # at both ends of the suite — the precondition BASELINE.md's drift
+        # protocol sets for treating the headline as a clean measurement.
+        # End-of-run pipe state is judged by the AMBIENT fresh-process probe
+        # (the in-process end pipe value above carries ~+0.1-0.15 s of the
+        # suite's own worker-pool residue; see comment at the probe call).
         "probes_at_floor": bool(
             max(jvm_probe_start["jvm"], jvm_probe_end["jvm"]) <= 0.6
-            and max(jvm_probe_start["pipe"], jvm_probe_end["pipe"]) <= 0.45
+            and jvm_probe_start["pipe"] <= 0.45
+            and ambient_end.get("jvm") is not None
+            and ambient_end["jvm"] <= 0.6
+            and ambient_end.get("pipe") is not None
+            and ambient_end["pipe"] <= 0.45
         ),
     }
 
@@ -566,6 +592,45 @@ def _jvm_drift_probe(spark) -> dict:
     pipe_once()
     pipe = min(pipe_once(), pipe_once())
     return {"jvm": round(jvm, 3), "pipe": round(pipe, 3)}
+
+
+def _ambient_probe_subprocess(cores: int) -> dict:
+    """Run ``_jvm_drift_probe`` in a FRESH subprocess and return its values.
+
+    This is the probe form the round protocol (BASELINE.md drift section)
+    has always used to adjudicate host phase: a fresh process sees ambient
+    state only, whereas the long-lived bench process's pipe probe reads the
+    suite's own worker-pool residue on top of it (measured +0.1-0.15 s,
+    persistent). One discard call precedes the measured call, matching the
+    in-process JIT-cold handling. Returns {"jvm": None, "pipe": None} if
+    the subprocess fails, which keeps ``probes_at_floor`` False rather than
+    silently passing.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = (
+        "import sys, json\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "import bench\n"
+        f"sp = bench._fresh_spark('local[{cores}]', {cores})\n"
+        "bench._jvm_drift_probe(sp)\n"
+        "print('AMBIENT_PROBE ' + json.dumps(bench._jvm_drift_probe(sp)))\n"
+        "sp.stop()\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("AMBIENT_PROBE "):
+                return json.loads(line[len("AMBIENT_PROBE "):])
+    except Exception:
+        pass
+    return {"jvm": None, "pipe": None}
 
 
 def run_pack_scaling(n_docs: int, cores_pair=(1, 4), repeats: int = 2) -> dict:
