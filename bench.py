@@ -39,6 +39,14 @@ import time
 
 from pyspark.sql import functions as F
 
+# clean-phase probe floors (BASELINE.md drift protocol): calibrated on this
+# host across local[8]..local[32] — observed clean-phase readings jvm
+# 0.33-0.50 s / pipe 0.27-0.39 s, elevated-phase jvm 0.7-6.2 s. The probe
+# workloads are fixed-size, so at core counts outside that range the
+# probes_at_floor flag is not meaningful; read the raw probe values instead.
+_FLOOR_JVM_S = 0.6
+_FLOOR_PIPE_S = 0.45
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -329,6 +337,13 @@ def main() -> None:
     # fresh subprocess; the in-process end values stay recorded above for
     # cross-round comparison. The end JVM probe shows no such pollution
     # (0.37-0.55 s post-suite == floor), so it stays in-process.
+    # Stop the bench's own (24g-heap) JVM FIRST: the ambient probe spawns a
+    # second same-sized JVM at the same core count, and reading it while the
+    # resident one is still up measures self-contention, not ambient state —
+    # biasing probes_at_floor toward false negatives on hosts without 2x
+    # headroom. Nothing below needs the session (the scaling path launches
+    # fresh processes per point).
+    spark.stop()
     ambient_end = _ambient_probe_subprocess(cores)
     extras = {k[1:]: v for k, v in timings.items() if k.startswith("_")}
     queries = {k: round(v, 3) for k, v in timings.items() if not k.startswith("_")}
@@ -381,17 +396,27 @@ def main() -> None:
         # (the in-process end pipe value above carries ~+0.1-0.15 s of the
         # suite's own worker-pool residue; see comment at the probe call).
         "probes_at_floor": bool(
-            max(jvm_probe_start["jvm"], jvm_probe_end["jvm"]) <= 0.6
-            and jvm_probe_start["pipe"] <= 0.45
+            max(jvm_probe_start["jvm"], jvm_probe_end["jvm"]) <= _FLOOR_JVM_S
+            and jvm_probe_start["pipe"] <= _FLOOR_PIPE_S
             and ambient_end.get("jvm") is not None
-            and ambient_end["jvm"] <= 0.6
+            and ambient_end["jvm"] <= _FLOOR_JVM_S
             and ambient_end.get("pipe") is not None
-            and ambient_end["pipe"] <= 0.45
+            and ambient_end["pipe"] <= _FLOOR_PIPE_S
         ),
+        # the thresholds behind the flag, recorded so a reader (or a run at
+        # a non-calibrated core count) can re-adjudicate: the probe
+        # workloads are fixed-size, so their wall time depends on
+        # parallelism — these values hold for the calibrated 8-32 core
+        # range (observed clean-phase floors jvm 0.33-0.50 s, pipe
+        # 0.27-0.39 s across local[8] and local[32]); at other core counts
+        # read the raw probe values, not the flag
+        "probe_floor_jvm_s": _FLOOR_JVM_S,
+        "probe_floor_pipe_s": _FLOOR_PIPE_S,
+        "probe_floor_calibrated_cores": [8, 32],
     }
 
     if scaling:
-        spark.stop()
+        # session already stopped above (before the ambient probe)
         result["scaling"] = run_scaling(
             n_docs=int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000")),
             cores_pair=(

@@ -104,15 +104,15 @@ def cmd_pack(args) -> int:
     from pyspark.sql import functions as F
 
     from .functions.tokenize import doc_lengths, tokenize_udf
-    from .index.docmap import assign_doc_ids
+    from .index.docmap import assign_doc_ids, find_doc_id_col
     from .operators.packing import chunk_manifest, export_chunks, pack_sequences
 
     spark = _spark("nss-pack")
     corpus = spark.read.parquet(args.input)
-    # case-insensitive like Spark's default column resolution (and like
-    # assign_doc_ids' own clash guard): a DOC_ID corpus must use its existing
-    # column, not reach assign_doc_ids and die on the clash it now rejects
-    if not any(c.lower() == "doc_id" for c in corpus.columns):
+    # one shared resolver with assign_doc_ids' clash guard: a corpus whose
+    # doc_id column resolves under the session's rules must use it, not
+    # reach assign_doc_ids and die on the clash it rejects
+    if find_doc_id_col(corpus) is None:
         corpus = assign_doc_ids(corpus, order_col="url")
     lens = doc_lengths(corpus).withColumnRenamed("doc_len", "n_tokens")
     packed = pack_sequences(lens, args.budget)
@@ -157,10 +157,11 @@ def cmd_sketch(args) -> int:
     if args.kind == "quantiles" and args.bins is not None and args.bins < 2:
         print(json.dumps({"error": f"--bins needs at least 2 bins, got {args.bins}"}))
         return 2
-    # None = "not stated": the build path and all-legacy merges fall back to
-    # the historical default, while a mixed legacy/new merge REQUIRES an
-    # explicit claim (a silently-trusted default could launder a wrong bin
-    # count into the merged sketch)
+    # None = "not stated": the build path falls back to the historical
+    # default (and records it in the partial), while ANY merge touching
+    # legacy (nbins-less) partials REQUIRES an explicit claim — a
+    # silently-trusted default could launder a wrong bin count into the
+    # merged sketch (checked on the merge path below)
     bins = args.bins if args.bins is not None else 256
 
     from functools import reduce
@@ -194,15 +195,22 @@ def cmd_sketch(args) -> int:
                 # still refuses to union exactly as before, and hist_merge's
                 # frame check still rejects a contradicted --bins claim
                 has_nbins = ["nbins" in p.columns for p in parts]
+                if not all(has_nbins) and args.bins is None:
+                    # no silently-trusted default on ANY merge touching
+                    # legacy partials: an all-legacy union has no recorded
+                    # value to cross-check at all, so defaulting to 256
+                    # would mis-scale every estimate if the slices were
+                    # built with any other bin count — strictly riskier
+                    # than the mixed case, which at least detects a
+                    # contradicted claim through the frame check
+                    print(json.dumps({
+                        "error": "--merge-inputs includes legacy (no "
+                                 "recorded nbins) partials: pass "
+                                 "--bins to state their build-time "
+                                 "bin count"
+                    }))
+                    return 2
                 if any(has_nbins) and not all(has_nbins):
-                    if args.bins is None:
-                        print(json.dumps({
-                            "error": "--merge-inputs mixes legacy (no "
-                                     "recorded nbins) and new partials: pass "
-                                     "--bins to state the legacy build-time "
-                                     "bin count"
-                        }))
-                        return 2
                     print(
                         "note: trusting --bins "
                         f"{args.bins} as the build-time bin count of the "
@@ -242,12 +250,26 @@ def cmd_sketch(args) -> int:
                 # JSON error line (like every other verb), not a traceback
                 print(json.dumps({"error": str(exc)}))
                 return 2
+            if args.bins is not None and all(has_nbins):
+                # all-new merge: the recorded value is authoritative (the
+                # documented --bins semantics), but a contradicted explicit
+                # claim should not pass without comment — the user's stated
+                # belief about the sketch is wrong even though the output
+                # is right
+                first = merged.select("nbins").first()
+                if first is not None and first["nbins"] != args.bins:
+                    print(
+                        f"note: partials record nbins={first['nbins']}; "
+                        f"the recorded value wins over --bins {args.bins}",
+                        file=sys.stderr,
+                    )
             try:
                 qs = [float(x) for x in args.quantiles.split(",")]
                 # nbins comes from the partials themselves (recorded at build
                 # time), so merging 128-bin partials without --bins cannot
-                # mis-scale the estimates; the `bins` fallback only applies
-                # to ALL-legacy unions, where no recorded value exists
+                # mis-scale the estimates; `bins` reaches the estimator only
+                # on ALL-legacy unions, where it is the caller's REQUIRED
+                # --bins claim (never a default — checked above)
                 rows = hist_quantiles(merged, qs, nbins=bins).collect()
             except ValueError as exc:
                 print(json.dumps({"error": str(exc)}))
@@ -994,9 +1016,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(default 256); on --merge-inputs the nbins "
                          "RECORDED in the partials wins — --bins is only "
                          "the stated build-time bin count of legacy "
-                         "(pre-nbins) partials: required when legacy and "
-                         "new partials are mixed, fallback 256 when all "
-                         "partials are legacy")
+                         "(pre-nbins) partials: REQUIRED whenever any "
+                         "merged partial is legacy (never defaulted — a "
+                         "trusted default could mis-scale the estimates)")
     sk.add_argument("--quantiles", default="0.5,0.9,0.99")
     sk.add_argument("--bounds", default=None,
                     help="'lo,hi': pin the histogram frame so per-slice "

@@ -25,22 +25,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def find_doc_id_col(df: DataFrame) -> str | None:
+    """The column of ``df`` that resolves as ``doc_id`` under the session's
+    column-resolution rules, or None.
+
+    Spark resolves column references case-insensitively by default, so a
+    ``DOC_ID`` column collides with an appended ``doc_id`` just as surely as
+    an exact-case one — UNLESS the session runs with
+    ``spark.sql.caseSensitive=true``, where only the exact-case name
+    collides. One shared resolver for ``assign_doc_ids``' clash guard and
+    the pack CLI's use-existing-column check, so the two sites cannot drift.
+    """
+    exact = next((c for c in df.columns if c == "doc_id"), None)
+    if exact is not None:
+        return exact
+    case_sensitive = (
+        str(df.sparkSession.conf.get("spark.sql.caseSensitive", "false")).lower()
+        == "true"
+    )
+    if case_sensitive:
+        return None
+    return next((c for c in df.columns if c.lower() == "doc_id"), None)
+
+
 def assign_doc_ids(
     corpus: DataFrame,
     order_col: str = "url",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``doc_id`` = dense rank of ``order_col`` (0-based, no gaps)."""
-    # case-insensitive: Spark resolves column references case-insensitively
-    # by default (spark.sql.caseSensitive=false), so a DOC_ID column collides
-    # with the appended doc_id just as surely as an exact-case one
-    clash = [c for c in corpus.columns if c.lower() == "doc_id"]
-    if clash:
+    clash = find_doc_id_col(corpus)
+    if clash is not None:
         # appending a second doc_id column would only surface much later as
         # an AMBIGUOUS_REFERENCE inside whatever consumes the frame — fail
         # here, at the call that caused it
         raise ValueError(
-            f"corpus already has a doc_id column ({clash[0]!r}); pass "
+            f"corpus already has a doc_id column ({clash!r}); pass "
             "id_col='doc_id' to build_index (or drop/rename the column) "
             "instead of re-assigning"
         )

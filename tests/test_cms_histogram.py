@@ -221,10 +221,12 @@ def test_cms_estimate_grouped_emits_zero_rows_for_absent_candidates(spark):
     }
 
 
-def _run_sketch(*a, expect=0):
+def _run_sketch(*a, expect=0, want_stderr=False):
     """Drive `cli sketch ...` through spark-submit-equivalent subprocess; one
     helper for every CLI sketch test (each call is a fresh JVM, so shared
-    fixtures below amortize the expensive partial builds)."""
+    fixtures below amortize the expensive partial builds). With
+    ``want_stderr`` returns ``(result, stderr)`` so tests can pin the
+    advisory `note:` lines the CLI emits alongside a successful result."""
     import json
     import subprocess
     import sys
@@ -235,7 +237,8 @@ def _run_sketch(*a, expect=0):
     )
     assert p.returncode == expect, (p.returncode, p.stderr[-1500:])
     assert "Traceback" not in p.stderr, p.stderr[-1500:]
-    return json.loads(p.stdout.strip().splitlines()[-1])
+    result = json.loads(p.stdout.strip().splitlines()[-1])
+    return (result, p.stderr) if want_stderr else result
 
 
 _WHOLE_DOCS = "/root/testdata/sf0.001/documents.parquet"
@@ -337,6 +340,18 @@ def test_cli_sketch_quantiles_bins_recorded_in_partials(
     # build-time 128 (the recorded value wins; no claim needed for all-new)
     merged = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}")
     assert merged["est"] == whole128["est"]
+    # all-new merge under a CONTRADICTING explicit --bins: the recorded
+    # value still wins (correct output), and the contradiction is called
+    # out on stderr rather than silently ignored
+    merged, errout = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}",
+                                 "--bins", "256", want_stderr=True)
+    assert merged["est"] == whole128["est"]
+    assert "recorded value wins over --bins 256" in errout
+    # ...while a MATCHING explicit claim passes without comment
+    merged, errout = _run_sketch("quantiles", "--merge-inputs", f"{p0},{p1}",
+                                 "--bins", "128", want_stderr=True)
+    assert merged["est"] == whole128["est"]
+    assert "recorded value wins" not in errout
     # same frame, different bin count: contract violation, JSON error
     p256 = str(tmp_path / "p256")
     _run_sketch("quantiles", "--input", s1, "--value-col", "doc_id",
@@ -420,12 +435,18 @@ def test_cli_sketch_quantiles_legacy_partial_merge(
     err = _run_sketch("quantiles", "--merge-inputs", f"{p0_legacy},{p1}",
                       expect=2)
     assert "pass --bins" in err["error"]
-    # all-legacy union still works on [lo, hi] alone (old behavior)
+    # all-legacy union still works on [lo, hi] alone (old behavior) — but
+    # ONLY under an explicit --bins claim: there is no recorded value to
+    # cross-check at all, so a defaulted 256 would silently mis-scale these
+    # 128-bin slices (strictly riskier than the mixed case above)
     p1_legacy = str(tmp_path / "p1_legacy")
     spark.read.parquet(p1).drop("nbins").write.parquet(p1_legacy)
     merged = _run_sketch("quantiles", "--merge-inputs",
                          f"{p0_legacy},{p1_legacy}", "--bins", "128")
     assert merged["est"] == whole128["est"]
+    err = _run_sketch("quantiles", "--merge-inputs",
+                      f"{p0_legacy},{p1_legacy}", expect=2)
+    assert "pass --bins" in err["error"]
     # a partial missing a DATA column is NOT accommodated: strict union
     # refuses with a JSON error (allowMissingColumns would null-fill cnt and
     # silently drop the slice from the merged sketch)

@@ -533,3 +533,16 @@ def test_assign_doc_ids_rejects_existing_doc_id_any_case(corpus_small):
         assign_doc_ids(corpus_small.withColumn("doc_id", F.lit(1)))
     with _pytest.raises(ValueError, match="'DOC_ID'"):
         assign_doc_ids(corpus_small.withColumn("DOC_ID", F.lit(1)))
+
+    # under spark.sql.caseSensitive=true a DOC_ID column does NOT collide
+    # with the appended doc_id (they are distinct names in that config),
+    # so the guard must let it through — only the exact-case name clashes
+    spark = corpus_small.sparkSession
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        got = assign_doc_ids(corpus_small.withColumn("DOC_ID", F.lit(1)))
+        assert "doc_id" in got.columns and "DOC_ID" in got.columns
+        with _pytest.raises(ValueError, match="already has a doc_id"):
+            assign_doc_ids(corpus_small.withColumn("doc_id", F.lit(1)))
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
