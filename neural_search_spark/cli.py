@@ -210,7 +210,14 @@ def cmd_sketch(args) -> int:
                                  "bin count"
                     }))
                     return 2
-                if any(has_nbins) and not all(has_nbins):
+                if not all(has_nbins):
+                    # args.bins is guaranteed set here (checked above); the
+                    # claim is injected into EVERY legacy partial — including
+                    # the all-legacy case — so a merged partial re-persisted
+                    # via --output records the stated bin count instead of
+                    # staying legacy (a later merge would otherwise need the
+                    # claim re-stated, and a wrong re-claim would be
+                    # undetectable)
                     print(
                         "note: trusting --bins "
                         f"{args.bins} as the build-time bin count of the "
@@ -255,8 +262,12 @@ def cmd_sketch(args) -> int:
                 # documented --bins semantics), but a contradicted explicit
                 # claim should not pass without comment — the user's stated
                 # belief about the sketch is wrong even though the output
-                # is right
-                first = merged.select("nbins").first()
+                # is right. Read the value from ONE pre-union partial (one
+                # row of one parquet file) rather than `merged`, whose plan
+                # re-executes the whole union+merge; hist_merge's frame
+                # check already guaranteed every partial records the same
+                # nbins, so any one of them is authoritative
+                first = parts[0].select("nbins").first()
                 if first is not None and first["nbins"] != args.bins:
                     print(
                         f"note: partials record nbins={first['nbins']}; "
@@ -265,11 +276,12 @@ def cmd_sketch(args) -> int:
                     )
             try:
                 qs = [float(x) for x in args.quantiles.split(",")]
-                # nbins comes from the partials themselves (recorded at build
-                # time), so merging 128-bin partials without --bins cannot
-                # mis-scale the estimates; `bins` reaches the estimator only
-                # on ALL-legacy unions, where it is the caller's REQUIRED
-                # --bins claim (never a default — checked above)
+                # nbins comes from the partials themselves — recorded at
+                # build time for new partials, injected above from the
+                # caller's REQUIRED --bins claim for legacy ones — so
+                # merging 128-bin partials without --bins cannot mis-scale
+                # the estimates and the `bins` fallback argument is never
+                # what decides
                 rows = hist_quantiles(merged, qs, nbins=bins).collect()
             except ValueError as exc:
                 print(json.dumps({"error": str(exc)}))

@@ -441,12 +441,26 @@ def test_cli_sketch_quantiles_legacy_partial_merge(
     # 128-bin slices (strictly riskier than the mixed case above)
     p1_legacy = str(tmp_path / "p1_legacy")
     spark.read.parquet(p1).drop("nbins").write.parquet(p1_legacy)
+    m_out = str(tmp_path / "m_all_legacy")
     merged = _run_sketch("quantiles", "--merge-inputs",
-                         f"{p0_legacy},{p1_legacy}", "--bins", "128")
+                         f"{p0_legacy},{p1_legacy}", "--bins", "128",
+                         "--output", m_out)
     assert merged["est"] == whole128["est"]
     err = _run_sketch("quantiles", "--merge-inputs",
                       f"{p0_legacy},{p1_legacy}", expect=2)
     assert "pass --bins" in err["error"]
+    # the all-legacy merge INJECTS the validated claim, so the re-persisted
+    # merged partial records nbins=128 instead of staying legacy: a later
+    # merge of it needs no re-stated claim, and a WRONG re-claim is now
+    # detectable (recorded value wins, with a note) where a legacy partial
+    # would have silently trusted the 256 and mis-scaled every estimate
+    assert "nbins" in spark.read.parquet(m_out).columns
+    remerged = _run_sketch("quantiles", "--merge-inputs", m_out)
+    assert remerged["est"] == whole128["est"]
+    remerged, errout = _run_sketch("quantiles", "--merge-inputs", m_out,
+                                   "--bins", "256", want_stderr=True)
+    assert remerged["est"] == whole128["est"]
+    assert "recorded value wins over --bins 256" in errout
     # a partial missing a DATA column is NOT accommodated: strict union
     # refuses with a JSON error (allowMissingColumns would null-fill cnt and
     # silently drop the slice from the merged sketch)

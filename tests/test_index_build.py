@@ -538,6 +538,7 @@ def test_assign_doc_ids_rejects_existing_doc_id_any_case(corpus_small):
     # with the appended doc_id (they are distinct names in that config),
     # so the guard must let it through — only the exact-case name clashes
     spark = corpus_small.sparkSession
+    prior = spark.conf.get("spark.sql.caseSensitive", "false")
     spark.conf.set("spark.sql.caseSensitive", "true")
     try:
         got = assign_doc_ids(corpus_small.withColumn("DOC_ID", F.lit(1)))
@@ -545,4 +546,7 @@ def test_assign_doc_ids_rejects_existing_doc_id_any_case(corpus_small):
         with _pytest.raises(ValueError, match="already has a doc_id"):
             assign_doc_ids(corpus_small.withColumn("doc_id", F.lit(1)))
     finally:
-        spark.conf.set("spark.sql.caseSensitive", "false")
+        # restore the SAVED value, not a hardcoded "false": overwriting a
+        # deliberately case-sensitive session config would leak into every
+        # later test in the shared session
+        spark.conf.set("spark.sql.caseSensitive", prior)
